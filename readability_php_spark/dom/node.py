@@ -1,0 +1,268 @@
+"""Mutable DOM tree for the extraction kernel.
+
+This environment has no lxml, so the kernel runs on this hand-rolled DOM: a
+doubly-linked mutable tree designed for the reference's access pattern
+(depth-first walks with in-place deletion/retagging — ``src/Nodes/
+NodeUtility.php:100-160``).  Linked siblings make ``remove_and_get_next`` and
+``get_next_node`` O(1), which matters because the kernel runs once per row
+inside an Arrow batch on a Spark Python worker.
+
+Node taxonomy mirrors the pieces of PHP's DOM the reference touches:
+Element / Text / Comment / Document (``src/Nodes/DOM/*.php``).  The mutable
+``content_score`` / ``initialized`` per-node state of the reference's
+``NodeTrait`` (``src/Nodes/NodeTrait.php:21-28``) lives directly on Element —
+per-document trees are private to one UDF invocation, so plain attributes are
+safe and fast.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+ELEMENT_NODE = 1
+TEXT_NODE = 3
+COMMENT_NODE = 8
+DOCUMENT_NODE = 9
+
+
+class Node:
+    __slots__ = ("parent", "prev", "next")
+
+    node_type: int = 0
+
+    def __init__(self) -> None:
+        self.parent: Optional[Element] = None
+        self.prev: Optional[Node] = None
+        self.next: Optional[Node] = None
+
+    # --- tree surgery -----------------------------------------------------
+    def detach(self) -> "Node":
+        """Unlink from parent; returns self."""
+        p = self.parent
+        if p is None:
+            return self
+        if self.prev is not None:
+            self.prev.next = self.next
+        else:
+            p.first_child = self.next
+        if self.next is not None:
+            self.next.prev = self.prev
+        else:
+            p.last_child = self.prev
+        self.parent = None
+        self.prev = None
+        self.next = None
+        return self
+
+    # --- text -------------------------------------------------------------
+    @property
+    def text_content(self) -> str:
+        return ""
+
+    # PHP DOM nodeValue ~ textContent for the node kinds the kernel reads.
+    @property
+    def node_value(self) -> str:
+        return self.text_content
+
+    def has_ancestor(self, node: "Element") -> bool:
+        p = self.parent
+        while p is not None:
+            if p is node:
+                return True
+            p = p.parent
+        return False
+
+
+class Text(Node):
+    __slots__ = ("data",)
+    node_type = TEXT_NODE
+
+    def __init__(self, data: str = "") -> None:
+        super().__init__()
+        self.data = data
+
+    @property
+    def text_content(self) -> str:
+        return self.data
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Text({self.data[:30]!r})"
+
+
+class Comment(Node):
+    __slots__ = ("data",)
+    node_type = COMMENT_NODE
+
+    def __init__(self, data: str = "") -> None:
+        super().__init__()
+        self.data = data
+
+    @property
+    def text_content(self) -> str:
+        # PHP DOMComment::$textContent is the comment data, but the kernel
+        # never aggregates comments into element text (libxml doesn't either).
+        return ""
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Comment({self.data[:30]!r})"
+
+
+class Element(Node):
+    __slots__ = ("tag", "attrs", "first_child", "last_child",
+                 "content_score", "initialized")
+    node_type = ELEMENT_NODE
+
+    def __init__(self, tag: str, attrs: Optional[dict] = None) -> None:
+        super().__init__()
+        self.tag = tag
+        self.attrs: dict = attrs if attrs is not None else {}
+        self.first_child: Optional[Node] = None
+        self.last_child: Optional[Node] = None
+        # NodeTrait state (src/Nodes/NodeTrait.php:21-28)
+        self.content_score: float = 0.0
+        self.initialized: bool = False
+
+    # --- children ---------------------------------------------------------
+    def append_child(self, node: Node) -> Node:
+        if node.parent is not None:
+            node.detach()
+        node.parent = self
+        node.prev = self.last_child
+        node.next = None
+        if self.last_child is not None:
+            self.last_child.next = node
+        else:
+            self.first_child = node
+        self.last_child = node
+        return node
+
+    def insert_before(self, node: Node, ref: Optional[Node]) -> Node:
+        if ref is None:
+            return self.append_child(node)
+        assert ref.parent is self
+        if node.parent is not None:
+            node.detach()
+        node.parent = self
+        node.next = ref
+        node.prev = ref.prev
+        if ref.prev is not None:
+            ref.prev.next = node
+        else:
+            self.first_child = node
+        ref.prev = node
+        return node
+
+    def replace_child(self, new: Node, old: Node) -> Node:
+        """Insert ``new`` where ``old`` is; detach ``old``."""
+        assert old.parent is self
+        self.insert_before(new, old)
+        old.detach()
+        return old
+
+    def remove_child(self, node: Node) -> Node:
+        assert node.parent is self
+        return node.detach()
+
+    @property
+    def child_nodes(self) -> list[Node]:
+        """Snapshot list of children (PHP's live NodeList semantics are
+        replicated where needed by re-snapshotting — see X4)."""
+        out = []
+        n = self.first_child
+        while n is not None:
+            out.append(n)
+            n = n.next
+        return out
+
+    def iter_children(self) -> Iterator[Node]:
+        n = self.first_child
+        while n is not None:
+            nxt = n.next  # survive removal of n during iteration
+            yield n
+            n = nxt
+
+    @property
+    def has_children(self) -> bool:
+        return self.first_child is not None
+
+    # --- descendants ------------------------------------------------------
+    def iter_desc(self, tag: Optional[str] = None) -> Iterator["Element"]:
+        """Document-order descendant elements (excluding self); snapshot-free
+        generator — callers that mutate must materialize with list()."""
+        n = self.first_child
+        while n is not None:
+            if n.node_type == ELEMENT_NODE:
+                if tag is None or n.tag == tag:
+                    yield n  # type: ignore[misc]
+                if n.first_child is not None:
+                    yield from n.iter_desc(tag)  # type: ignore[union-attr]
+            n = n.next
+
+    def get_elements_by_tag_name(self, tag: str) -> list["Element"]:
+        """Materialized descendant list; '*' matches all elements
+        (PHP DOMDocument::getElementsByTagName semantics)."""
+        if tag == "*":
+            return list(self.iter_desc(None))
+        return list(self.iter_desc(tag))
+
+    # --- attributes (PHP getAttribute returns '' when missing) ------------
+    def get_attribute(self, name: str) -> str:
+        return self.attrs.get(name, "")
+
+    def set_attribute(self, name: str, value: str) -> None:
+        self.attrs[name] = value
+
+    def has_attribute(self, name: str) -> bool:
+        return name in self.attrs
+
+    def remove_attribute(self, name: str) -> None:
+        self.attrs.pop(name, None)
+
+    # --- text -------------------------------------------------------------
+    @property
+    def text_content(self) -> str:
+        # Iterative stack walk: recursion-free (pathological HTML nests deep)
+        # and single-join (hot path: called many times during scoring).
+        parts: list[str] = []
+        stack: list[Node] = []
+        n = self.first_child
+        while n is not None or stack:
+            if n is None:
+                n = stack.pop()
+                continue
+            if n.node_type == TEXT_NODE:
+                parts.append(n.data)  # type: ignore[union-attr]
+            elif n.node_type == ELEMENT_NODE and n.first_child is not None:  # type: ignore[union-attr]
+                if n.next is not None:
+                    stack.append(n.next)
+                n = n.first_child  # type: ignore[union-attr]
+                continue
+            n = n.next
+        return "".join(parts)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<{self.tag} {self.attrs!r}>"
+
+
+class Document(Element):
+    """Root container. ``tag`` is the pseudo-tag '#document' so generic
+    element code can treat it uniformly (the reference's rateNodes builds a
+    fresh DOMDocument and appendChild()s article content into it —
+    src/Readability.php:1109-1118)."""
+    __slots__ = ()
+    node_type = DOCUMENT_NODE
+
+    def __init__(self) -> None:
+        super().__init__("#document")
+
+    def create_element(self, tag: str) -> Element:
+        return Element(tag)
+
+    def create_text_node(self, data: str) -> Text:
+        return Text(data)
+
+    @property
+    def body(self) -> Optional[Element]:
+        for el in self.iter_desc("body"):
+            return el
+        return None

@@ -1,0 +1,261 @@
+"""Lenient HTML → DOM tree builder on the stdlib tokenizer.
+
+The reference parses with libxml2's forgiving HTML mode
+(``src/Readability.php:276``).  This environment has no libxml binding
+(no lxml), so this module implements an HTML5-lite error-recovering tree
+builder over ``html.parser.HTMLParser``:
+
+- void elements never take children;
+- implied end tags (``<p>`` closed by block starts, ``li`` by ``li``,
+  ``dd/dt``, table cell/row/section closings, ``option``);
+- stray end tags pop to the matching open element or are ignored;
+- ``html``/``head``/``body`` synthesized lazily — crucially a document with
+  *no* body content yields no ``<body>`` node, preserving the reference's
+  "Invalid or incomplete HTML." guard for inputs like ``"<html>"``
+  (``src/Readability.php:146-150``, ``test/ReadabilityTest.php:119-127``);
+- character references decoded to text (the behavior of
+  ``substituteEntities=true``, which the reference's own test harness forces —
+  ``test/ReadabilityTest.php:27``);
+- ``<script>``/``<style>`` contents kept as raw text (CDATA mode).
+
+Tag and attribute names are lowercased (libxml HTML behavior).  Duplicate
+attributes keep the first occurrence (libxml keeps the first).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Optional
+
+from .node import Comment, Document, Element, Text
+
+VOID_ELEMENTS = frozenset(
+    "area base basefont br col embed frame hr img input isindex keygen "
+    "link meta param source track wbr".split()
+)
+
+HEAD_TAGS = frozenset("title base meta link style script noscript template".split())
+
+# Start tags that implicitly close an open <p> (HTML5 §8.2.5 "in body").
+P_CLOSERS = frozenset(
+    "address article aside blockquote center details dialog dir div dl "
+    "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup "
+    "hr listing main menu nav ol p plaintext pre section summary table ul "
+    "xmp li dd dt".split()
+)
+
+# Scope boundaries when searching the open stack for an element to imply-close.
+SCOPE_BOUNDARY = frozenset(
+    "html body table td th caption applet object template marquee".split()
+)
+
+# tag → set of open tags it implicitly closes (popped one at a time while the
+# stack top is in the set).
+SAME_LEVEL_CLOSERS = {
+    "li": frozenset(["li"]),
+    "dd": frozenset(["dd", "dt"]),
+    "dt": frozenset(["dd", "dt"]),
+    "tr": frozenset(["tr", "td", "th"]),
+    "td": frozenset(["td", "th"]),
+    "th": frozenset(["td", "th"]),
+    "thead": frozenset(["tr", "td", "th", "tbody", "tfoot", "thead", "caption", "colgroup"]),
+    "tbody": frozenset(["tr", "td", "th", "tbody", "tfoot", "thead", "caption", "colgroup"]),
+    "tfoot": frozenset(["tr", "td", "th", "tbody", "tfoot", "thead", "caption", "colgroup"]),
+    "option": frozenset(["option"]),
+    "optgroup": frozenset(["option", "optgroup"]),
+    "a": frozenset(["a"]),
+    "button": frozenset(["button"]),
+}
+
+# When imply-closing <li>/<dd>/<dt>/table parts, don't pop past these.
+LIST_SCOPE_STOP = {
+    "li": frozenset(["ul", "ol", "menu", "dir", "table", "td", "th", "body", "html"]),
+    "dd": frozenset(["dl", "table", "td", "th", "body", "html"]),
+    "dt": frozenset(["dl", "table", "td", "th", "body", "html"]),
+    "tr": frozenset(["table", "tbody", "thead", "tfoot"]),
+    "td": frozenset(["table", "tr", "tbody", "thead", "tfoot"]),
+    "th": frozenset(["table", "tr", "tbody", "thead", "tfoot"]),
+}
+
+
+class TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.doc = Document()
+        self.html: Optional[Element] = None
+        self.head: Optional[Element] = None
+        self.body: Optional[Element] = None
+        self.stack: list[Element] = []  # open elements strictly below body/head
+
+    # --- structure helpers ------------------------------------------------
+    def _ensure_html(self) -> Element:
+        if self.html is None:
+            self.html = Element("html")
+            self.doc.append_child(self.html)
+        return self.html
+
+    def _ensure_head(self) -> Element:
+        if self.head is None:
+            html = self._ensure_html()
+            self.head = Element("head")
+            # head goes before body if body already exists
+            html.insert_before(self.head, self.body)
+        return self.head
+
+    def _ensure_body(self) -> Element:
+        if self.body is None:
+            html = self._ensure_html()
+            self.body = Element("body")
+            html.append_child(self.body)
+        return self.body
+
+    def _insertion_parent(self, for_tag: Optional[str] = None) -> Element:
+        if self.stack:
+            return self.stack[-1]
+        if self.body is None and for_tag in HEAD_TAGS:
+            return self._ensure_head()
+        return self._ensure_body()
+
+    def _merge_attrs(self, el: Element, attrs) -> None:
+        for name, value in attrs:
+            if name not in el.attrs:
+                el.attrs[name] = value if value is not None else ""
+
+    def _pop_to_inclusive(self, idx: int) -> None:
+        del self.stack[idx:]
+
+    def _imply_end_tags(self, tag: str) -> None:
+        # Same-level closers: find the nearest open sibling-level element
+        # (li closes li, td closes td/th, ...) without crossing that tag's
+        # scope stops, and pop through it — implied end tags for anything
+        # (e.g. <b>) left open in between.
+        closers = SAME_LEVEL_CLOSERS.get(tag)
+        if closers:
+            # Tags with a crafted stop list use only it (the generic scope
+            # boundary contains td/th, which table-structure tags must be
+            # able to pop through).
+            stops = LIST_SCOPE_STOP.get(tag) or SCOPE_BOUNDARY
+            match = -1
+            for i in range(len(self.stack) - 1, -1, -1):
+                t = self.stack[i].tag
+                if t in stops and t not in closers:
+                    break
+                if t in closers:
+                    # keep scanning: pop through the OUTERMOST sibling-level
+                    # element before the scope stop (a new <tr> must close
+                    # the open <tr> including its open <td>)
+                    match = i
+            if match >= 0:
+                self._pop_to_inclusive(match)
+        # <p> closure by block-level starts
+        if tag in P_CLOSERS:
+            for i in range(len(self.stack) - 1, -1, -1):
+                t = self.stack[i].tag
+                if t in SCOPE_BOUNDARY:
+                    break
+                if t == "p":
+                    self._pop_to_inclusive(i)
+                    break
+
+    # --- HTMLParser callbacks ---------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag == "html":
+            self._merge_attrs(self._ensure_html(), attrs)
+            return
+        if tag == "head":
+            self._merge_attrs(self._ensure_head(), attrs)
+            return
+        if tag == "body":
+            self._merge_attrs(self._ensure_body(), attrs)
+            return
+        self._imply_end_tags(tag)
+        el = Element(tag)
+        self._merge_attrs(el, attrs)
+        self._insertion_parent(tag).append_child(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        if tag in ("html", "head", "body"):
+            self.handle_starttag(tag, attrs)
+            return
+        self._imply_end_tags(tag)
+        el = Element(tag)
+        self._merge_attrs(el, attrs)
+        self._insertion_parent(tag).append_child(el)
+        # <div/> in text/html is an OPEN tag per HTML5; libxml treats it as
+        # empty. We follow libxml (reference parser) and keep it childless.
+
+    def handle_endtag(self, tag):
+        if tag in VOID_ELEMENTS:
+            return
+        if tag == "body" or tag == "html":
+            self.stack.clear()
+            return
+        if tag == "head":
+            self.stack.clear()
+            return
+        if tag == "p" and not any(e.tag == "p" for e in self.stack):
+            # </p> with no open <p> creates an empty paragraph (HTML5)
+            self._insertion_parent(tag).append_child(Element("p"))
+            return
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i].tag == tag:
+                self._pop_to_inclusive(i)
+                return
+        # unmatched end tag: ignored
+
+    def handle_data(self, data):
+        if not data:
+            return
+        if self.stack:
+            parent = self.stack[-1]
+        elif self.body is not None:
+            parent = self.body
+        else:
+            if data.strip() == "":
+                return  # whitespace before any content: dropped (libxml)
+            parent = self._ensure_body()
+        last = parent.last_child
+        if last is not None and last.node_type == 3:
+            last.data += data  # merge adjacent text (libxml normalizes)
+        else:
+            parent.append_child(Text(data))
+
+    def handle_comment(self, data):
+        if self.stack:
+            parent = self.stack[-1]
+        elif self.body is not None:
+            parent = self.body
+        elif self.head is not None:
+            parent = self.head
+        else:
+            parent = self._ensure_html()
+        parent.append_child(Comment(data))
+
+    def handle_decl(self, decl):
+        pass
+
+    def handle_pi(self, data):
+        pass
+
+    def unknown_decl(self, data):
+        pass
+
+
+def parse_html(html: str) -> Document:
+    """Parse an HTML string into a Document. Never raises on malformed
+    input — error recovery is the point (one bad row must not kill a
+    10^12-row Spark job; the kernel maps failures to an ``error`` column)."""
+    tb = TreeBuilder()
+    try:
+        tb.feed(html)
+        tb.close()
+    except Exception:
+        # tokenizer blow-ups on pathological input: return what we built
+        pass
+    return tb.doc
+
+
+def parse_html_bytes(raw: bytes, encoding: str = "utf-8") -> Document:
+    return parse_html(raw.decode(encoding, errors="replace"))
