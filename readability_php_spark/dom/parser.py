@@ -29,6 +29,10 @@ from typing import Optional
 
 from .node import Comment, Document, Element, Text
 
+# Open-element stack depth cap: beyond this, new elements are inserted as
+# leaves (immediately closed).  Bounds every stack scan on adversarial input.
+MAX_OPEN_DEPTH = 512
+
 VOID_ELEMENTS = frozenset(
     "area base basefont br col embed frame hr img input isindex keygen "
     "link meta param source track wbr".split()
@@ -67,6 +71,19 @@ SAME_LEVEL_CLOSERS = {
     "button": frozenset(["button"]),
 }
 
+# libxml2's areBlanks() PCDATA whitelist (htmlparser.c, public libxml2
+# source): a whitespace-only text node that is immediately followed by a tag
+# is DROPPED unless the node before it is text or one of these elements.
+# This is why the reference's golden files show `</a> <a` (kept) but collapse
+# `<br/> <br/>` (dropped) — we replicate it for parse parity.
+ALLOW_PCDATA = frozenset(
+    "a abbr acronym address applet b bdo big blockquote body button caption "
+    "center cite code dd del dfn dir div dl dt em font form h1 h2 h3 h4 h5 "
+    "h6 i iframe ins kbd label legend li map menu noframes noscript object "
+    "ol p pre q s samp small span strike strong sub sup td textarea th tt "
+    "u ul var".split()
+)
+
 # When imply-closing <li>/<dd>/<dt>/table parts, don't pop past these.
 LIST_SCOPE_STOP = {
     "li": frozenset(["ul", "ol", "menu", "dir", "table", "td", "th", "body", "html"]),
@@ -86,6 +103,53 @@ class TreeBuilder(HTMLParser):
         self.head: Optional[Element] = None
         self.body: Optional[Element] = None
         self.stack: list[Element] = []  # open elements strictly below body/head
+        # deferred whitespace-only text node: (parent, data). Decided at the
+        # next event per libxml's areBlanks() (see ALLOW_PCDATA).
+        self._pending_ws: Optional[tuple[Element, str]] = None
+        self._html4_external_dtd = False
+        # count of open <p> elements: lets the per-start-tag p-closure scan
+        # short-circuit, keeping parse O(n) on pathological deep nesting
+        self._open_p = 0
+
+    # --- libxml areBlanks() replica ----------------------------------------
+    def _flush_pending_ws(self, next_is_close_tag: Optional[bool]) -> None:
+        """``next_is_close_tag``: True for ``</``, False for any other ``<…``
+        event, None for EOF/literal-text (libxml: CUR==0 → drop; CUR!='<' →
+        keep, but at EOF only the drop case arises)."""
+        if self._pending_ws is None:
+            return
+        parent, data = self._pending_ws
+        self._pending_ws = None
+        if next_is_close_tag is None:
+            return  # EOF: blanks dropped (areBlanks: CUR==0 → 1)
+        if not self._ws_kept(parent, next_is_close_tag):
+            return
+        last = parent.last_child
+        if last is not None and last.node_type == 3:
+            last.data += data
+        else:
+            parent.append_child(Text(data))
+
+    def _ws_kept(self, parent: Element, next_is_close_tag: bool) -> bool:
+        tag = parent.tag
+        if tag in ("html", "head"):
+            return False
+        if tag == "body" and self._html4_external_dtd:
+            return False
+        if parent.first_child is None:
+            if next_is_close_tag:
+                return tag in ALLOW_PCDATA
+            return True
+        last = parent.last_child
+        while last is not None and last.node_type == 8:  # skip comments
+            last = last.prev
+        if last is None:
+            return tag in ALLOW_PCDATA
+        if last.node_type == 3:
+            return True
+        if last.node_type == 1:
+            return last.tag in ALLOW_PCDATA
+        return False
 
     # --- structure helpers ------------------------------------------------
     def _ensure_html(self) -> Element:
@@ -122,6 +186,8 @@ class TreeBuilder(HTMLParser):
                 el.attrs[name] = value if value is not None else ""
 
     def _pop_to_inclusive(self, idx: int) -> None:
+        if self._open_p:
+            self._open_p -= sum(1 for e in self.stack[idx:] if e.tag == "p")
         del self.stack[idx:]
 
     def _imply_end_tags(self, tag: str) -> None:
@@ -147,8 +213,9 @@ class TreeBuilder(HTMLParser):
                     match = i
             if match >= 0:
                 self._pop_to_inclusive(match)
-        # <p> closure by block-level starts
-        if tag in P_CLOSERS:
+        # <p> closure by block-level starts (counter short-circuits the scan:
+        # keeps parsing O(n) on pathological 100k-deep nesting)
+        if self._open_p and tag in P_CLOSERS:
             for i in range(len(self.stack) - 1, -1, -1):
                 t = self.stack[i].tag
                 if t in SCOPE_BOUNDARY:
@@ -159,6 +226,7 @@ class TreeBuilder(HTMLParser):
 
     # --- HTMLParser callbacks ---------------------------------------------
     def handle_starttag(self, tag, attrs):
+        self._flush_pending_ws(False)
         if tag == "html":
             self._merge_attrs(self._ensure_html(), attrs)
             return
@@ -172,10 +240,16 @@ class TreeBuilder(HTMLParser):
         el = Element(tag)
         self._merge_attrs(el, attrs)
         self._insertion_parent(tag).append_child(el)
-        if tag not in VOID_ELEMENTS:
+        if tag not in VOID_ELEMENTS and len(self.stack) < MAX_OPEN_DEPTH:
+            # past the cap, elements are inserted but treated as immediately
+            # closed (libxml similarly bounds depth); keeps every per-tag
+            # stack scan O(MAX_OPEN_DEPTH) on adversarial nesting
             self.stack.append(el)
+            if tag == "p":
+                self._open_p += 1
 
     def handle_startendtag(self, tag, attrs):
+        self._flush_pending_ws(False)
         if tag in ("html", "head", "body"):
             self.handle_starttag(tag, attrs)
             return
@@ -187,15 +261,14 @@ class TreeBuilder(HTMLParser):
         # empty. We follow libxml (reference parser) and keep it childless.
 
     def handle_endtag(self, tag):
+        self._flush_pending_ws(True)
         if tag in VOID_ELEMENTS:
             return
-        if tag == "body" or tag == "html":
+        if tag in ("body", "html", "head"):
             self.stack.clear()
+            self._open_p = 0
             return
-        if tag == "head":
-            self.stack.clear()
-            return
-        if tag == "p" and not any(e.tag == "p" for e in self.stack):
+        if tag == "p" and not self._open_p:
             # </p> with no open <p> creates an empty paragraph (HTML5)
             self._insertion_parent(tag).append_child(Element("p"))
             return
@@ -208,14 +281,28 @@ class TreeBuilder(HTMLParser):
     def handle_data(self, data):
         if not data:
             return
+        if self._pending_ws is not None:
+            # consecutive data callbacks: the '<' that flushed the buffer was
+            # literal text → libxml keeps the blanks (CUR != '<')
+            parent, pending = self._pending_ws
+            self._pending_ws = None
+            last = parent.last_child
+            if last is not None and last.node_type == 3:
+                last.data += pending
+            else:
+                parent.append_child(Text(pending))
         if self.stack:
             parent = self.stack[-1]
         elif self.body is not None:
             parent = self.body
         else:
             if data.strip() == "":
-                return  # whitespace before any content: dropped (libxml)
+                return  # ws in html/head context: dropped (libxml)
             parent = self._ensure_body()
+        if data.strip() == "" and parent.tag not in ("script", "style",
+                                                     "textarea", "pre"):
+            self._pending_ws = (parent, data)
+            return
         last = parent.last_child
         if last is not None and last.node_type == 3:
             last.data += data  # merge adjacent text (libxml normalizes)
@@ -223,6 +310,7 @@ class TreeBuilder(HTMLParser):
             parent.append_child(Text(data))
 
     def handle_comment(self, data):
+        self._flush_pending_ws(False)
         if self.stack:
             parent = self.stack[-1]
         elif self.body is not None:
@@ -234,13 +322,20 @@ class TreeBuilder(HTMLParser):
         parent.append_child(Comment(data))
 
     def handle_decl(self, decl):
-        pass
+        self._flush_pending_ws(False)
+        d = decl.lower()
+        if "-//w3c//dtd html 4.01//en" in d or "-//w3c//dtd html 4//en" in d:
+            self._html4_external_dtd = True
 
     def handle_pi(self, data):
-        pass
+        self._flush_pending_ws(False)
 
     def unknown_decl(self, data):
-        pass
+        self._flush_pending_ws(False)
+
+    def close(self):
+        super().close()
+        self._flush_pending_ws(None)
 
 
 def parse_html(html: str) -> Document:
