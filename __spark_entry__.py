@@ -1,38 +1,530 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction job on sf0.001.
+``queries()`` — one entry per operator family from SURVEY.md §2 + the
+training-data operators (dedup / similarity / text analysis / multimodal).
+``oracle_sql()`` — exact DuckDB twins.  The extraction round-trip queries are
+the strongest checks: DuckDB never runs the extractor — it just returns the
+ground-truth text/title that our full Spark extraction pipeline must
+reproduce byte-for-byte after wrapping the documents in boilerplate HTML.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from readability_php_spark.config import Configuration  # noqa: E402
+from readability_php_spark.operators.dedup import (  # noqa: E402
+    exact_duplicates,
+    minhash_bands,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dup_candidates,
+)
+from readability_php_spark.operators.extract import extract_operator  # noqa: E402
+from readability_php_spark.operators.multimodal import (  # noqa: E402
+    extract_media_features,
+    synthetic_media_df,
+)
+from readability_php_spark.operators.similarity import ann_topk, cosine_topk  # noqa: E402
+from readability_php_spark.operators.text_analysis import analyze  # noqa: E402
+from readability_php_spark.plans.pipeline import tune_session_for_extraction  # noqa: E402
+from readability_php_spark.sources.pages import (  # noqa: E402
+    documents_corpus_df,
+    load_table,
+)
+
+EXTRACT_CONFIG = Configuration(
+    fix_relative_urls=True, article_byline=True, substitute_entities=True
+)
+
+#: The round-trip corpus runs with char_threshold=150 (docs in the synthetic
+#: tables top out at ~558 stripped chars).  Docs above the threshold succeed
+#: on attempt 1 and extract exactly; below it the kernel's flag-relaxation
+#: retry may legitimately keep boilerplate (same as the reference).  The
+#: filter margin (250 > threshold + max boilerplate leak ≈ 70 chars) makes
+#: the included set identical on both sides.
+ROUNDTRIP_THRESHOLD = 150
+MIN_STRIPPED = 250
+ROUNDTRIP_CONFIG = EXTRACT_CONFIG.with_overrides(char_threshold=ROUNDTRIP_THRESHOLD)
+
+
+def _extracted(
+    spark: SparkSession, sf_dir: str, config: Configuration = None
+) -> DataFrame:
+    tune_session_for_extraction(spark)
+    pages = documents_corpus_df(spark, sf_dir)
+    out = extract_operator(pages, config or EXTRACT_CONFIG)
+    return out.withColumn(
+        "doc_id", F.regexp_extract("url", r"/doc/(\d+)\.html", 1).cast("long")
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction pipeline must recover each document's text exactly
+    (whitespace-insensitive: paragraph structure replaces newline runs)."""
+    out = _extracted(spark, sf_dir, ROUNDTRIP_CONFIG)
+    stripped = F.regexp_replace(F.col("extracted_text"), r"[\s ]+", "")
+    return (
+        out.select("doc_id", stripped.alias("text_nows"))
+        .filter(F.length("text_nows") >= MIN_STRIPPED)
+        .orderBy("doc_id")
+    )
+
+
+def q_extract_title_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _extracted(spark, sf_dir)
+    return out.select("doc_id", "title").orderBy("doc_id")
+
+
+def q_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition metrics aggregation (the manifest shape): doc counts +
+    error counts by language."""
+    pages = documents_corpus_df(spark, sf_dir)
+    out = extract_operator(pages, EXTRACT_CONFIG).withColumn(
+        "doc_id", F.regexp_extract("url", r"/doc/(\d+)\.html", 1).cast("long")
+    )
+    joined = out.join(pages.select("doc_id", "lang"), "doc_id")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_top_docs_by_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", "n_chars").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    ).limit(20)
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return analyze(docs).orderBy("doc_id")
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with synthetic duplicates: every doc is
+    unioned with a copy at doc_id+1_000_000 (deterministic), so every
+    fingerprint group has size ≥ 2."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return exact_duplicates(docs.unionByName(dupes)).orderBy("keeper_doc_id")
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return minhash_bands(docs, num_hashes=8, bands=2).orderBy("doc_id", "band")
+
+
+def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates over the synthetic-duplicate corpus: each
+    (doc, doc+1M) pair must collide on every band (identical text)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 100
+    )
+    dupes = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    both = docs.unionByName(dupes)
+    return minhash_lsh_candidates(both, num_hashes=8, bands=2).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for the deterministic pair set (i, i+1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").alias("doc_a")).filter(F.col("doc_a") < 200)
+    pairs = ids.select("doc_a", (F.col("doc_a") + 1).alias("doc_b"))
+    return ngram_jaccard_pairs(docs, pairs).orderBy("doc_a")
+
+
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates on the synthetic-duplicate corpus
+    (xxhash64-based — no SQL oracle; rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 100
+    )
+    dupes = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return (
+        simhash_near_dup_candidates(docs.unionByName(dupes))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10, bits=8).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts (the batch shape of the streaming rollup)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational layer demo: 3-way join with broadcast dims + agg."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count("*").alias("items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregate over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload → Arrow-batched feature extract
+    (deterministic fake decode; rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_media_df(spark, docs)
+    return extract_media_features(media).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline over the sf0.001 documents corpus."""
+    return _extracted(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "url", "title", "extracted_text", "excerpt", "error",
+        "attempts", "partition_id",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_roundtrip": q_extract_roundtrip,
+        "extract_title_roundtrip": q_extract_title_roundtrip,
+        "extract_stats": q_extract_stats,
+        "docs_per_lang": q_docs_per_lang,
+        "top_docs_by_chars": q_top_docs_by_chars,
+        "text_analysis": q_text_analysis,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_bands": q_minhash_bands,
+        "minhash_lsh_dups": q_minhash_lsh_dups,
+        "ngram_jaccard_consecutive": q_ngram_jaccard_consecutive,
+        "simhash_candidates": q_simhash_candidates,
+        "cosine_topk": q_cosine_topk,
+        "ann_topk": q_ann_topk,
+        "events_hourly": q_events_hourly,
+        "revenue_by_nation": q_revenue_by_nation,
+        "pricing_summary": q_pricing_summary,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB SQL fragments shared by several oracles
+_FP = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+_WORDS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _shingle_sql(src: str = "text") -> str:
+    """Distinct word-3-gram list of ``src`` (mirrors dedup.word_shingles)."""
+    return f"""
+      list_distinct(
+        list_transform(
+          range(1, greatest(len(string_split_regex(lower(trim({src})), '\\s+')) - 2, 1) + 1),
+          i -> array_to_string(list_slice(string_split_regex(lower(trim({src})), '\\s+'), i, i + 2), ' ')
+        )
+      )"""
+
+
+def _minhash_sql(num_hashes: int) -> str:
+    """Minhash signature list over the shingles of ``text``."""
+    return f"""
+      list_transform(range(0, {num_hashes}),
+        h -> coalesce(list_min(list_transform(sh, s -> md5(h || '|' || s))), 'zzzzzzzz'))"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    quality = """
+      round(
+        0.4 * least(length(text) / 2000.0, 1.0)
+      + 0.3 * least(
+          (case when n_tokens > 0
+                then len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b'))::DOUBLE / n_tokens
+                else 0.0 end) * 8.0, 1.0)
+      + 0.3 * greatest(0.0, 1.0 - least(
+          (case when length(text) > 0
+                then length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE / length(text)
+                else 0.0 end) * 4.0, 1.0))
+      , 4)"""
+
+    lang_hits = {
+        "en": "(the|and|of|to|in)",
+        "de": "(der|die|und|das|nicht)",
+        "fr": "(le|la|les|et|des)",
+        "es": "(el|los|las|una|y)",
+    }
+    hit = {
+        k: f"len(regexp_extract_all(lower(text), '\\b{v}\\b'))"
+        for k, v in lang_hits.items()
+    }
+    best = f"greatest({hit['en']}, {hit['de']}, {hit['fr']}, {hit['es']})"
+    lang_pred = f"""
+      case when {best} = 0 then 'und'
+           when {hit['en']} = {best} then 'en'
+           when {hit['de']} = {best} then 'de'
+           when {hit['fr']} = {best} then 'fr'
+           else 'es' end"""
+
+    return {
+        "extract_roundtrip": f"""
+            SELECT doc_id, regexp_replace(text, '[\\s ]+', '', 'g') AS text_nows
+            FROM documents
+            WHERE length(regexp_replace(text, '[\\s ]+', '', 'g')) >= {MIN_STRIPPED}
+            ORDER BY doc_id
+        """,
+        "extract_title_roundtrip": """
+            SELECT doc_id, 'Document ' || doc_id || ' - SynthCorp' AS title
+            FROM documents ORDER BY doc_id
+        """,
+        "extract_stats": """
+            SELECT lang, count(*) AS docs, 0::BIGINT AS errors
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "docs_per_lang": """
+            SELECT lang, count(*) AS docs,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "top_docs_by_chars": """
+            SELECT doc_id, lang, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "text_analysis": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     case when trim(text) = '' then 0
+                          else len(string_split_regex(trim(text), '\\s+')) end AS n_tokens,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_bpe_tokens,
+                     {_FP} AS fp
+              FROM documents)
+            SELECT doc_id, n_tokens, n_bpe_tokens,
+                   {quality} AS quality,
+                   {lang_pred} AS lang_pred,
+                   fp
+            FROM base ORDER BY doc_id
+        """,
+        "exact_dup_groups": f"""
+            WITH both_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents)
+            SELECT {_FP} AS fp, min(doc_id) AS keeper_doc_id,
+                   count(*) AS group_size
+            FROM both_docs GROUP BY 1 HAVING count(*) > 1
+            ORDER BY keeper_doc_id
+        """,
+        "minhash_bands": f"""
+            WITH sh AS (
+              SELECT doc_id, {_shingle_sql()} AS sh
+              FROM documents WHERE doc_id < 50),
+            sig AS (
+              SELECT doc_id, {_minhash_sql(8)} AS sig FROM sh),
+            bands AS (
+              SELECT doc_id, unnest(range(0, 2)) AS band, sig FROM sig)
+            SELECT doc_id, band::INT AS band,
+                   md5(array_to_string(list_slice(sig, band*4 + 1, band*4 + 4), '|')) AS band_hash
+            FROM bands ORDER BY doc_id, band
+        """,
+        "minhash_lsh_dups": f"""
+            WITH both_docs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 100
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100),
+            sh AS (SELECT doc_id, {_shingle_sql()} AS sh FROM both_docs),
+            sig AS (SELECT doc_id, {_minhash_sql(8)} AS sig FROM sh),
+            bands AS (
+              SELECT doc_id, unnest(range(0, 2)) AS band, sig FROM sig),
+            bb AS (
+              SELECT doc_id, band,
+                     md5(array_to_string(list_slice(sig, band*4 + 1, band*4 + 4), '|')) AS band_hash
+              FROM bands)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bb a JOIN bb b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b
+        """,
+        "ngram_jaccard_consecutive": f"""
+            WITH sh AS (SELECT doc_id, {_shingle_sql()} AS sh FROM documents),
+            pairs AS (
+              SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents
+              WHERE doc_id < 200)
+            SELECT p.doc_a, p.doc_b,
+                   round(case when len(list_distinct(a.sh || b.sh)) > 0
+                         then len(list_intersect(a.sh, b.sh))::DOUBLE
+                              / len(list_distinct(a.sh || b.sh))
+                         else 0.0 end, 4) AS jaccard
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b
+            ORDER BY p.doc_a
+        """,
+        "cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qvec
+              FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.qvec::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cos_sim
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT *, row_number() OVER
+                (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, cos_sim, rank::INT AS rank
+            FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "ann_topk": """
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     (case when embedding[1] >= 0 then 1 else 0 end)
+                   + (case when embedding[2] >= 0 then 2 else 0 end)
+                   + (case when embedding[3] >= 0 then 4 else 0 end)
+                   + (case when embedding[4] >= 0 then 8 else 0 end)
+                   + (case when embedding[5] >= 0 then 16 else 0 end)
+                   + (case when embedding[6] >= 0 then 32 else 0 end)
+                   + (case when embedding[7] >= 0 then 64 else 0 end)
+                   + (case when embedding[8] >= 0 then 128 else 0 end) AS bucket
+              FROM embeddings),
+            q AS (
+              SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+              FROM b WHERE vec_id IN (0,1,2,3,4)),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.qvec::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cos_sim
+              FROM b e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT *, row_number() OVER
+                (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, cos_sim, rank::INT AS rank
+            FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 4) AS value_sum
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        # simhash_candidates, media_features: xxhash64/sha1 not reproducible
+        # in DuckDB → rows-only checks (intentionally omitted)
+    }
+
+
+if __name__ == "__main__":
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "6g")
+        .getOrCreate()
+    )
+    df = entry(spark)
+    n = df.count()
+    errs = df.filter("error is not null").count()
+    print(f"entry(): {n} rows, {errs} errors")
+    df.show(5, truncate=60)
+    spark.stop()

@@ -1,0 +1,230 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale shapes (the part that matters at 100 TB):
+
+- **exact**: one hash-aggregate on a 32-byte key — the cheapest possible
+  shuffle; partial aggregation (map-side combine) kicks in automatically.
+- **MinHash-LSH**: signatures are computed scan-side (JVM-native md5 over
+  shingle arrays — no UDF), then candidates come from a *band-bucket
+  self-join*: explode k bands → shuffle on (band, band_hash) → pairs only
+  within buckets.  The full O(n²) similarity join never happens; the only
+  quadratic work is within-bucket, which LSH keeps tiny.
+- **SimHash**: 64-bit signature via per-token xxhash64 bit votes
+  (aggregate over a 64-slot vector, all lambda column ops); near-dups are
+  pairs within hamming radius via 4×16-bit block index (pigeonhole: any
+  pair within hamming distance 3 shares at least one exact 16-bit block).
+- **n-gram Jaccard**: exact verifier for candidate pairs (used after LSH
+  bucketing, or standalone on a bounded pair set).
+
+md5 is used wherever the DuckDB oracle must reproduce values; xxhash64
+(cheaper) where the check is structural (rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import fingerprint
+
+
+# --- exact ------------------------------------------------------------------
+
+def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: one row per
+    duplicated fingerprint with the keeper (min doc_id) and group size."""
+    return (
+        documents.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the min-doc_id representative of each fingerprint group."""
+    w = (
+        documents.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return documents.join(w, "doc_id", "left_semi")
+
+
+# --- shingles / n-grams -------------------------------------------------------
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram strings, JVM-native: split → transform over a
+    sequence of start offsets → slice+join → dedup."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    cnt = F.size(words)
+    num = F.greatest(cnt - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(num, F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.when(num > 0, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard(a: Column, b: Column) -> Column:
+    """Jaccard over two shingle arrays, rounded for hash stability."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 4)
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard for given candidate (doc_a, doc_b) pairs."""
+    sh = documents.select(
+        F.col("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    return (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b", ngram_jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+        )
+    )
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """Array of ``num_hashes`` minhash values.  Hash family: md5 of
+    ``"{i}|{shingle}"`` (string-min over hex digests) — fully reproducible
+    in any engine with md5; empty shingle set → array of 'z' sentinels."""
+    sh = word_shingles(text, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.coalesce(
+            F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))
+            ),
+            F.lit("zzzzzzzz"),
+        ),
+    )
+
+
+def minhash_bands(
+    documents: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, band, band_hash): md5 of each band's concatenated minhashes.
+    This is the LSH bucketing relation — near-dups collide on ≥1 band."""
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    docs = documents.select("doc_id", sig.alias("sig"))
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), "|")).alias(
+                "band_hash"
+            ),
+        ),
+    )
+    return docs.select(
+        "doc_id", F.explode(band_arr).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) from band-bucket collisions.
+    The self-join shuffles on (band, band_hash) — bucket-local pairs only."""
+    bb = minhash_bands(documents, text_col, num_hashes, bands, shingle_n)
+    a = bb.alias("a")
+    b = bb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# --- SimHash --------------------------------------------------------------------
+
+def simhash64(text_col: str) -> Column:
+    """64-bit SimHash as bigint over the named text column.  Per distinct
+    token, xxhash64 supplies the bit pattern; each bit votes ±1; sign of the
+    sum sets the bit.  All column algebra (aggregate over a 64-slot vote
+    array) — no UDF.  Written as a SQL expression because
+    shiftleft/shiftright need column-valued shift amounts there (the
+    DataFrame API only accepts Python ints)."""
+    sql = f"""
+      aggregate(
+        zip_with(
+          aggregate(
+            array_distinct(split(lower(trim({text_col})), '\\\\s+')),
+            array_repeat(0L, 64),
+            (acc, tok) -> zip_with(
+              acc,
+              transform(sequence(0, 63),
+                        i -> if((shiftright(xxhash64(tok), cast(i as int)) & 1L) = 1L, 1L, -1L)),
+              (x, y) -> x + y)),
+          sequence(0, 63),
+          (v, i) -> if(v > 0L, shiftleft(1L, cast(i as int)), 0L)),
+        0L, (acc, x) -> acc | x)
+    """
+    return F.expr(sql)
+
+
+def simhash_near_dup_candidates(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Pairs sharing ≥1 exact 16-bit block of the simhash (pigeonhole for
+    hamming distance ≤ 3); shuffle key is (block_idx, block_value)."""
+    sh = documents.select("doc_id", simhash64(text_col).alias("sh"))
+    blocks = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "i -> struct(i as block, shiftright(sh, cast(i * 16 as int)) & 65535L as val))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "sh", F.col("b.block").alias("block"), F.col("b.val").alias("val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming"))

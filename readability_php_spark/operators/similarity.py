@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Dot products are ``F.aggregate(F.zip_with(...))`` column algebra (JVM,
+  codegen'd); the query side is broadcast so the scan of the corpus is a
+  single map-side pass, and top-k per query is a window ranked locally
+  after AQE coalesces.
+- ``signbit_buckets`` / ``ann_topk``: the scale path — a deterministic
+  sign-bit LSH over the first B dimensions buckets the corpus; queries probe
+  only their own bucket.  At 10^12 vectors the bucket join replaces the
+  whole-corpus cross product with per-bucket locality (same shape as an IVF
+  coarse quantizer; centroids ↔ sign patterns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for the given query ids (excluding self).
+    Cosine rounded to 4 decimals for cross-engine hash stability; ties
+    broken by neighbor id."""
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    joined = embeddings.alias("c").crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = joined.select(
+        F.col("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qvec"), F.col(vec_col)), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def signbit_bucket(vec_col: str, bits: int = 8) -> Column:
+    """Deterministic coarse bucket: sign bits of the first ``bits`` dims.
+    SQL expression because shiftleft needs a column-valued shift amount."""
+    return F.expr(
+        f"aggregate(zip_with(slice({vec_col}, 1, {bits}), "
+        f"sequence(0, {bits - 1}), "
+        "(x, i) -> if(x >= cast(0.0 as float), shiftleft(1, cast(i as int)), 0)), "
+        "0, (acc, x) -> acc + x)"
+    )
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-bit
+    bucket (recall < 1 by design; the exactness check is against
+    ``cosine_topk`` on the same bucket contents)."""
+    with_bucket = embeddings.withColumn("bucket", signbit_bucket(vec_col, bits))
+    q = with_bucket.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = with_bucket.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qvec"), F.col(vec_col)), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
