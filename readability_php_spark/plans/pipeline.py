@@ -1,34 +1,34 @@
 """End-to-end extraction job: the north-rule pipeline.
 
-    scan → (optional pre-filters, pushed down) → skew-salted repartition →
-    size-ordered batching → mapInPandas(extract) → partitioned write +
-    per-partition manifest/metrics → idempotent resume via anti-join.
+    scan → (pushed-down pre-filters) → [resume anti-join] → mapInPandas
+    (extract) → append-commit parquet + per-bucket manifest/metrics,
+    optionally in bucket waves.
 
 Scale reasoning (explicitly, for the 1000-executor / 100 TB case):
 
-- **Partition unit = `part_id = pmod(xxhash64(url, seed), N)`.**  Crawl data
-  arrives clustered by host; hashing on url with a seed breaks host
-  clustering so no executor gets all of one giant site.  N is chosen so a
-  partition's HTML fits comfortably in one Python worker (~128-512 MB of
-  raw HTML per partition at target scale).
-- **Size-ordered batches.** `sortWithinPartitions(length(html))` makes every
-  Arrow batch hold similarly-sized documents: `maxRecordsPerBatch` then
-  bounds batch bytes tightly instead of mixing 1 KB and 2 MB docs (tail
-  batches of huge docs are small in rows, equal in bytes). CPU-skew from
-  pathological pages is bounded by the kernel's depth cap.
-- **Resume = anti-join on the manifest.**  The manifest table holds one row
-  per completed part_id with its metrics.  A restarted job reads it,
-  anti-joins the input on part_id (a broadcast anti-join — the manifest is
-  tiny), and overwrites only the partitions it recomputes
-  (`partitionOverwriteMode=dynamic`), so a crashed run never produces
-  duplicate or torn output.
-- **All relational pieces stay in Catalyst**: the scan prunes to
-  (url, html [, filters]), the pre-filters push to parquet/Iceberg, the
-  manifest join broadcasts.  Only the kernel itself is Python, by design.
-
-The sink here is parquet (this sandbox has no Iceberg runtime); the write
-pattern (partitioned overwrite + manifest) is the Iceberg pattern —
-swapping `.parquet(path)` for `.writeTo(table)` is the only change needed.
+- **No shuffle in the hot path.**  Extraction is embarrassingly parallel, so
+  the job is scan → narrow ops → write.  Measured on local[32], a
+  pre-extraction repartition of the raw HTML cost 15-18 s of
+  non-scaling wall time on a 0.5 GB corpus — at 100 TB that shuffle would
+  move the entire corpus through disk twice for zero algorithmic benefit.
+  Host-clustering skew is broken instead by letting the *scan splits* be the
+  parallel unit (parquet/Iceberg splits are size-balanced by
+  ``maxPartitionBytes``, independent of crawl-host locality), and CPU skew
+  from pathological pages is bounded by the kernel's depth cap.
+- **Work unit = content-stable hash bucket.** ``part_id =
+  pmod(xxhash64(url, seed), num_buckets)`` is a *bookkeeping column*, not a
+  layout: resume anti-joins the manifest (broadcast — one row per bucket)
+  as a row filter; no co-location needed.
+- **Commit unit = wave.**  Spark's output commit is atomic per job (staging
+  + rename), so a crashed run leaves no partial files.  ``waves`` splits the
+  bucket space into ranges committed one job at a time — the incremental-
+  progress knob for multi-day backfills: a crash loses at most one wave.
+  Each wave appends data + manifest rows; restart skips completed buckets.
+- **Metrics** ride as columns and aggregate per bucket into the manifest
+  from a column-pruned read-back of the freshly written files.
+- The sink is parquet (no Iceberg runtime in this sandbox); append-commit +
+  manifest is the Iceberg snapshot pattern — ``.writeTo(tbl).append()`` is
+  a drop-in swap.
 """
 
 from __future__ import annotations
@@ -52,36 +52,29 @@ ARROW_BATCH_FOR_HTML = 64
 class ExtractJobResult:
     output_path: str
     manifest_path: str
-    partitions_done: int
-    partitions_skipped: int
+    buckets_done: int
+    buckets_skipped: int
+    waves_run: int
 
 
 def tune_session_for_extraction(spark: SparkSession) -> None:
-    """Session knobs the operator relies on; idempotent."""
+    """Session knobs the operator relies on; idempotent.  Also ships the
+    package zip to executors (the library-API equivalent of
+    ``spark-submit --py-files``)."""
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set(
         "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_FOR_HTML)
     )
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    from ..deploy import ship_package
+
+    ship_package(spark)
 
 
-def salted_partitions(
-    pages: DataFrame, num_partitions: int, seed: int = 42
-) -> DataFrame:
-    """Assign the stable work-unit id and lay data out by it.
-
-    ``part_id`` is content-stable (url hash), NOT Spark's physical partition
-    index — resume must survive a different cluster size, so the unit of
-    completion tracking is the hash bucket, not the task."""
-    with_id = pages.withColumn(
+def with_bucket(pages: DataFrame, num_buckets: int, seed: int = 42) -> DataFrame:
+    return pages.withColumn(
         "part_id",
-        F.pmod(F.xxhash64(F.col("url"), F.lit(seed)), F.lit(num_partitions)).cast("int"),
-    )
-    # one shuffle: co-locate each work unit, then order by size within the
-    # partition so Arrow batches are homogeneous in bytes
-    return with_id.repartition(num_partitions, "part_id").sortWithinPartitions(
-        F.length("html")
+        F.pmod(F.xxhash64(F.col("url"), F.lit(seed)), F.lit(num_buckets)).cast("int"),
     )
 
 
@@ -100,64 +93,107 @@ def run_extract_job(
     output_path: str,
     *,
     config: Optional[Configuration] = None,
-    num_partitions: int = 64,
+    num_buckets: int = 64,
     salt_seed: int = 42,
     manifest_path: Optional[str] = None,
     resume: bool = True,
+    waves: int = 1,
     lang_filter: Optional[str] = None,
     max_html_bytes: Optional[int] = None,
+    # deprecated alias (kept for callers written against the shuffle design)
+    num_partitions: Optional[int] = None,
 ) -> ExtractJobResult:
     """The flagship job.  ``pages``: DataFrame with (url, html[, lang...])."""
     tune_session_for_extraction(spark)
+    if num_partitions is not None:
+        num_buckets = num_partitions
     manifest_path = manifest_path or output_path.rstrip("/") + "_manifest"
+    config = config or Configuration(
+        fix_relative_urls=True, article_byline=True, substitute_entities=True
+    )
 
-    # pre-filters: expressed declaratively so they push into the scan
+    # pre-filters: declarative so they push into the scan
     if lang_filter is not None:
         pages = pages.filter(F.col("lang") == lang_filter)
     if max_html_bytes is not None:
         pages = pages.filter(F.length("html") <= max_html_bytes)
 
-    work = salted_partitions(pages, num_partitions, salt_seed)
+    work = with_bucket(pages, num_buckets, salt_seed)
 
+    done_ids = None
     skipped = 0
     manifest = read_manifest(spark, manifest_path) if resume else None
     if manifest is not None:
-        done_ids = manifest.select("part_id").distinct()
-        skipped = done_ids.count()
-        # broadcast anti-join: manifest is tiny (one row per work unit)
-        work = work.join(F.broadcast(done_ids), "part_id", "left_anti")
+        # bucket ids are only meaningful under the same (num_buckets, seed):
+        # refuse to resume across a bucketing change rather than silently
+        # treating aliased ids as complete
+        cfg_row = manifest.select("num_buckets", "salt_seed").first()
+        if cfg_row is not None and (
+            cfg_row.num_buckets != num_buckets or cfg_row.salt_seed != salt_seed
+        ):
+            raise ValueError(
+                f"manifest at {manifest_path} was written with "
+                f"num_buckets={cfg_row.num_buckets}, seed={cfg_row.salt_seed}; "
+                f"this run uses num_buckets={num_buckets}, seed={salt_seed}. "
+                "Use a fresh output/manifest path or the original bucketing."
+            )
+        done_df = manifest.select("part_id").distinct()
+        done = {r.part_id for r in done_df.collect()}  # tiny: one id per bucket
+        skipped = len(done)
+        done_ids = done
 
-    extracted = extract_operator(work, config)
-    # carry the stable work-unit id for partitioned write + metrics.
-    # part_id is recomputed (deterministic hash) rather than threaded through
-    # the UDF — stays JVM-side and keeps the UDF schema stable.
-    extracted = extracted.withColumn(
-        "part_id",
-        F.pmod(F.xxhash64(F.col("url"), F.lit(salt_seed)), F.lit(num_partitions)).cast("int"),
-    )
+    wave_size = max(1, (num_buckets + waves - 1) // waves)
+    waves_run = 0
+    buckets_done = 0
+    for lo in range(0, num_buckets, wave_size):
+        hi = min(lo + wave_size, num_buckets)
+        wave_buckets = [b for b in range(lo, hi) if not (done_ids and b in done_ids)]
+        if not wave_buckets:
+            continue
+        wave = work.filter(F.col("part_id").isin(wave_buckets)) if (
+            done_ids or waves > 1
+        ) else work
 
-    extracted.write.mode("overwrite").partitionBy("part_id").parquet(output_path)
+        # exactly-once across crashes: a run that died between the data
+        # append and the manifest append leaves committed rows in buckets
+        # the manifest doesn't know about — drop those urls before
+        # re-extracting (url-column-pruned scan of the wave's buckets only)
+        if manifest is not None and os.path.exists(output_path):
+            already = (
+                spark.read.parquet(output_path)
+                .select("url", "part_id")
+                .filter(F.col("part_id").isin(wave_buckets))
+                .select("url")
+            )
+            wave = wave.join(already, "url", "left_anti")
 
-    # per-partition lineage/metrics → manifest (append; readers distinct())
-    out = spark.read.parquet(output_path)
-    if manifest is not None:
-        out = out.join(F.broadcast(manifest.select("part_id").distinct()),
-                       "part_id", "left_anti")
-    metrics = out.groupBy("part_id").agg(
-        F.count("*").alias("docs"),
-        F.sum("html_bytes").alias("bytes_in"),
-        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
-        F.sum("attempts").alias("attempts_total"),
-        F.sum("extract_ms").alias("extract_ms_total"),
-        F.max("extract_ms").alias("extract_ms_max"),
-        F.current_timestamp().alias("completed_at"),
-    )
-    metrics.write.mode("append").parquet(manifest_path)
-    done = num_partitions - skipped
+        extracted = extract_operator(wave, config, carry=("part_id",))
+        extracted.write.mode("append").parquet(output_path)
+        waves_run += 1
+        buckets_done += len(wave_buckets)
+
+        # per-bucket lineage/metrics → manifest (append).  Column-pruned
+        # read-back of the output; restricted to this wave's buckets.
+        out = spark.read.parquet(output_path).select(
+            "part_id", "error", "attempts", "extract_ms", "html_bytes"
+        ).filter(F.col("part_id").isin(wave_buckets))
+        metrics = out.groupBy("part_id").agg(
+            F.count("*").alias("docs"),
+            F.sum("html_bytes").alias("bytes_in"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+            F.sum("attempts").alias("attempts_total"),
+            F.sum("extract_ms").alias("extract_ms_total"),
+            F.max("extract_ms").alias("extract_ms_max"),
+            F.current_timestamp().alias("completed_at"),
+            F.lit(num_buckets).alias("num_buckets"),
+            F.lit(salt_seed).alias("salt_seed"),
+        )
+        metrics.write.mode("append").parquet(manifest_path)
 
     return ExtractJobResult(
         output_path=output_path,
         manifest_path=manifest_path,
-        partitions_done=done,
-        partitions_skipped=skipped,
+        buckets_done=buckets_done,
+        buckets_skipped=skipped,
+        waves_run=waves_run,
     )
