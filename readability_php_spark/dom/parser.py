@@ -111,6 +111,11 @@ class TreeBuilder(HTMLParser):
         # short-circuit, keeping parse O(n) on pathological deep nesting
         self._open_p = 0
 
+    def updatepos(self, i, j):
+        # line/column tracking is only used for error positions, which we
+        # never read — ~10% of tokenizer time on large pages
+        return j
+
     # --- libxml areBlanks() replica ----------------------------------------
     def _flush_pending_ws(self, next_is_close_tag: Optional[bool]) -> None:
         """``next_is_close_tag``: True for ``</``, False for any other ``<…``
@@ -306,6 +311,8 @@ class TreeBuilder(HTMLParser):
         last = parent.last_child
         if last is not None and last.node_type == 3:
             last.data += data  # merge adjacent text (libxml normalizes)
+            from .node import _bump_epoch
+            _bump_epoch()
         else:
             parent.append_child(Text(data))
 

@@ -302,15 +302,23 @@ def set_node_tag(node: Element, value: str, import_attributes: bool = True) -> E
 
 def shifting_aware_iter(root: Element, tag: str) -> Iterator[Element]:
     # NodeTrait.php:549-567 — re-snapshot after each yield, adjust index by
-    # the number of nodes removed, never going below 0.
+    # the number of nodes removed, never going below 0.  The re-snapshot is
+    # skipped when no tree mutation happened since the last one (visit order
+    # provably identical; avoids the reference's O(n²) rescan pattern).
+    from ..dom.node import mutation_epoch
+
     nodes = root.get_elements_by_tag_name(tag)
+    epoch = mutation_epoch()
     count = len(nodes)
     i = 0
     while i < count:
         yield nodes[i]
-        nodes = root.get_elements_by_tag_name(tag)
-        i -= count - len(nodes)
-        count = len(nodes)
+        now = mutation_epoch()
+        if now != epoch:
+            nodes = root.get_elements_by_tag_name(tag)
+            epoch = now
+            i -= count - len(nodes)
+            count = len(nodes)
         i = max(i + 1, 0)
 
 
