@@ -76,12 +76,16 @@ SAME_LEVEL_CLOSERS = {
 # is DROPPED unless the node before it is text or one of these elements.
 # This is why the reference's golden files show `</a> <a` (kept) but collapse
 # `<br/> <br/>` (dropped) — we replicate it for parse parity.
+# (elements with %inline/PCDATA content models; list/table containers —
+# ul ol dl dir menu map — take only element children in the HTML4 DTD and
+# are NOT here, verified against the reference goldens: whitespace after
+# </ul> is dropped, after </div> kept)
 ALLOW_PCDATA = frozenset(
     "a abbr acronym address applet b bdo big blockquote body button caption "
-    "center cite code dd del dfn dir div dl dt em font form h1 h2 h3 h4 h5 "
-    "h6 i iframe ins kbd label legend li map menu noframes noscript object "
-    "ol p pre q s samp small span strike strong sub sup td textarea th tt "
-    "u ul var".split()
+    "center cite code dd del dfn div dt em font form h1 h2 h3 h4 h5 "
+    "h6 i iframe ins kbd label legend li noframes noscript object "
+    "p pre q s samp small span strike strong sub sup td textarea th tt "
+    "u var".split()
 )
 
 # When imply-closing <li>/<dd>/<dt>/table parts, don't pop past these.

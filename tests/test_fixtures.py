@@ -41,11 +41,13 @@ HARNESS_OPTS = {
     "ArticleByLine": True,
 }
 
-# fixture → set of fields that diverge from the golden (under investigation)
+# fixture → set of fields that diverge from the golden (under investigation).
+# Both remaining deltas are the Direction ancestor-chain (depth-3 walk from
+# the top candidate's parent) crossing a parse-tree nesting difference vs
+# libxml — content for both fixtures is otherwise byte/text-identical.
 KNOWN_DELTAS = {
     "aclu": {"Direction"},
     "yahoo-3": {"Direction"},
-    "telegraph": {"Author"},
 }
 
 CASES = sorted(
