@@ -114,6 +114,8 @@ class TreeBuilder(HTMLParser):
         # count of open <p> elements: lets the per-start-tag p-closure scan
         # short-circuit, keeping parse O(n) on pathological deep nesting
         self._open_p = 0
+        # after an explicit </body>, blank text is in html context → dropped
+        self._body_closed = False
 
     def updatepos(self, i, j):
         # line/column tracking is only used for error positions, which we
@@ -146,9 +148,10 @@ class TreeBuilder(HTMLParser):
         if tag == "body" and self._html4_external_dtd:
             return False
         if parent.first_child is None:
-            if next_is_close_tag:
-                return tag in ALLOW_PCDATA
-            return True
+            # leading blanks kept only inside elements whose content model
+            # allows PCDATA (verified against goldens: '<td> <x' keeps,
+            # '<ul> <li' and '<article> <h1' drop)
+            return tag in ALLOW_PCDATA
         last = parent.last_child
         while last is not None and last.node_type == 8:  # skip comments
             last = last.prev
@@ -192,7 +195,9 @@ class TreeBuilder(HTMLParser):
     def _merge_attrs(self, el: Element, attrs) -> None:
         for name, value in attrs:
             if name not in el.attrs:
-                el.attrs[name] = value if value is not None else ""
+                # SGML boolean-attribute minimization: <td nowrap> →
+                # nowrap="nowrap" (libxml behavior, visible in the goldens)
+                el.attrs[name] = value if value is not None else name
 
     def _pop_to_inclusive(self, idx: int) -> None:
         if self._open_p:
@@ -276,6 +281,8 @@ class TreeBuilder(HTMLParser):
         if tag in ("body", "html", "head"):
             self.stack.clear()
             self._open_p = 0
+            if tag == "body":
+                self._body_closed = True
             return
         if tag == "p" and not self._open_p:
             # </p> with no open <p> creates an empty paragraph (HTML5)
@@ -310,6 +317,8 @@ class TreeBuilder(HTMLParser):
             parent = self._ensure_body()
         if data.strip() == "" and parent.tag not in ("script", "style",
                                                      "textarea", "pre"):
+            if not self.stack and self._body_closed:
+                return  # blank text after </body>: html context, dropped
             self._pending_ws = (parent, data)
             return
         last = parent.last_child
