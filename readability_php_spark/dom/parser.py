@@ -71,6 +71,12 @@ SAME_LEVEL_CLOSERS = {
     "button": frozenset(["button"]),
 }
 
+# Tags whose implied close only fires on DIRECT nesting (stack top), never a
+# deep scan: libxml auto-closes `<a><a>` but keeps `<a><div><a>` nested
+# (verified against the cnn golden — a deep scan pops the wrapper div and
+# corrupts the ancestor chain).
+SHALLOW_CLOSERS = frozenset(["a", "button", "option", "optgroup"])
+
 # libxml2's areBlanks() PCDATA whitelist (htmlparser.c, public libxml2
 # source): a whitespace-only text node that is immediately followed by a tag
 # is DROPPED unless the node before it is text or one of these elements.
@@ -84,7 +90,7 @@ ALLOW_PCDATA = frozenset(
     "a abbr acronym address applet b bdo big blockquote body button caption "
     "center cite code dd del dfn div dt em font form h1 h2 h3 h4 h5 "
     "h6 i iframe ins kbd label legend li noframes noscript object "
-    "p pre q s samp small span strike strong sub sup td textarea th tt "
+    "p pre q s samp small span strike strong td textarea th tt "
     "u var".split()
 )
 
@@ -210,6 +216,10 @@ class TreeBuilder(HTMLParser):
         # scope stops, and pop through it — implied end tags for anything
         # (e.g. <b>) left open in between.
         closers = SAME_LEVEL_CLOSERS.get(tag)
+        if closers and tag in SHALLOW_CLOSERS:
+            if self.stack and self.stack[-1].tag in closers:
+                self._pop_to_inclusive(len(self.stack) - 1)
+            closers = None
         if closers:
             # Tags with a crafted stop list use only it (the generic scope
             # boundary contains td/th, which table-structure tags must be
