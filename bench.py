@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICAS = int(os.environ.get("BENCH_REPLICAS", "6"))
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "12"))
 CORPUS_PATH = "/tmp/bench_corpus_parquet"
 OUT_PATH = "/tmp/bench_extract_out"
 
@@ -110,6 +110,8 @@ def main() -> None:
         return
     spark = make_session(CPUS)
     ensure_corpus(spark)
+    # warm-up: spawn python workers + JIT before the measured pass
+    run_extraction(spark, CPUS)
     sec, docs = run_extraction(spark, CPUS)
     qtimes = run_queries(spark)
     docs_per_sec = round(docs / sec, 2)
