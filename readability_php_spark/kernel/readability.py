@@ -82,6 +82,11 @@ class Readability:
 
     # --- S1-S3: load --------------------------------------------------------
     def load_html(self, html: str) -> Document:
+        if self.config.normalize_entities:
+            # S2 — src/Readability.php:263-268: replace non-ASCII characters
+            # with entity equivalents (mb_convert_encoding 'HTML-ENTITIES');
+            # numeric charrefs decode identically on parse
+            html = html.encode("ascii", "xmlcharrefreplace").decode("ascii")
         if self.config.summon_cthulhu:
             html = CTHULHU.sub("", html)
         dom = parse_html(html)
