@@ -24,10 +24,23 @@ attributes keep the first occurrence (libxml keeps the first).
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 from typing import Optional
 
 from .node import Comment, Document, Element, Text
+
+# Fast start-tag scanner (hot path — ~40% of kernel time is tokenization).
+# Matches the common well-formed case in one pass; anything irregular falls
+# back to the stdlib's tolerant parser, so error recovery is unchanged.
+_FAST_TAGNAME = re.compile(r"[a-zA-Z][a-zA-Z0-9:._-]*")
+_FAST_ATTR = re.compile(
+    r"""\s*([^\s/=<>'"][^\s/=<>]*)"""                 # attr name
+    r"""(?:\s*=\s*("[^"]*"|'[^']*'|[^\s<>"'`=]+))?"""  # optional value
+)
+_FAST_WS = re.compile(r"\s*")
+_FAST_ENDTAG = re.compile(r"</([a-zA-Z][a-zA-Z0-9:._-]*)\s*>")
 
 # Open-element stack depth cap: beyond this, new elements are inserted as
 # leaves (immediately closed).  Bounds every stack scan on adversarial input.
@@ -127,6 +140,67 @@ class TreeBuilder(HTMLParser):
         # line/column tracking is only used for error positions, which we
         # never read — ~10% of tokenizer time on large pages
         return j
+
+    def parse_starttag(self, i):
+        """Lean replacement for the stdlib start-tag parser.  Handles the
+        well-formed fast path; defers to the stdlib tolerant parser on
+        anything unusual (mismatched quotes, junk, EOF truncation) so
+        recovery behavior — and therefore golden parity — is identical."""
+        rawdata = self.rawdata
+        m = _FAST_TAGNAME.match(rawdata, i + 1)
+        if m is None:
+            return super().parse_starttag(i)
+        tag = m.group(0)
+        j = m.end()
+        attrs = []
+        n = len(rawdata)
+        while True:
+            j = _FAST_WS.match(rawdata, j).end()
+            if j >= n:
+                return super().parse_starttag(i)  # truncated buffer
+            c = rawdata[j]
+            if c == ">":
+                j += 1
+                startend = False
+                break
+            if c == "/":
+                if rawdata[j + 1 : j + 2] == ">":
+                    j += 2
+                    startend = True
+                    break
+                return super().parse_starttag(i)
+            am = _FAST_ATTR.match(rawdata, j)
+            if am is None or am.end() == j:
+                return super().parse_starttag(i)
+            name = am.group(1)
+            value = am.group(2)
+            if value is not None:
+                if value[0] in "\"'":
+                    value = value[1:-1]
+                if "&" in value:
+                    value = unescape(value)
+            attrs.append((name.lower(), value))
+            j = am.end()
+        tag = tag.lower()
+        self.lasttag = tag
+        if startend:
+            self.handle_startendtag(tag, attrs)
+        else:
+            self.handle_starttag(tag, attrs)
+            if tag in self.CDATA_CONTENT_ELEMENTS:
+                self.set_cdata_mode(tag)
+        return j
+
+    def parse_endtag(self, i):
+        if self.cdata_elem is not None:
+            # inside <script>/<style>: the stdlib path validates the tag and
+            # clears CDATA mode — don't shortcut it
+            return super().parse_endtag(i)
+        m = _FAST_ENDTAG.match(self.rawdata, i)
+        if m is None:
+            return super().parse_endtag(i)
+        self.handle_endtag(m.group(1).lower())
+        return m.end()
 
     # --- libxml areBlanks() replica ----------------------------------------
     def _flush_pending_ws(self, next_is_close_tag: Optional[bool]) -> None:

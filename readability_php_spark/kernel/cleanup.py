@@ -19,6 +19,7 @@ from typing import Optional
 from ..dom.node import ELEMENT_NODE, TEXT_NODE, Document, Element, Node, Text
 from ..dom.serializer import serialize
 from .nodeutil import (
+    count_desc,
     get_class_weight,
     get_first_element_child,
     get_link_density,
@@ -57,12 +58,7 @@ def prep_article(ctx, article: Document) -> Document:
     # C4 (first wave) + C2
     _clean_conditionally(ctx, article, "form")
     _clean_conditionally(ctx, article, "fieldset")
-    _clean(ctx, article, "object")
-    _clean(ctx, article, "embed")
-    _clean(ctx, article, "h1")
-    _clean(ctx, article, "footer")
-    _clean(ctx, article, "link")
-    _clean(ctx, article, "aside")
+    _clean_many(ctx, article, ("object", "embed", "h1", "footer", "link", "aside"))
 
     # C5: share widgets, per top-level child
     for child in article.child_nodes:
@@ -82,11 +78,7 @@ def prep_article(ctx, article: Document) -> Document:
             if titles_match:
                 _clean(ctx, article, "h2")
 
-    _clean(ctx, article, "iframe")
-    _clean(ctx, article, "input")
-    _clean(ctx, article, "textarea")
-    _clean(ctx, article, "select")
-    _clean(ctx, article, "button")
+    _clean_many(ctx, article, ("iframe", "input", "textarea", "select", "button"))
     _clean_headers(ctx, article)
 
     # C4 (second wave): tables/lists/divs last
@@ -140,19 +132,19 @@ def _mark_data_tables(article: Document) -> None:
         if table.get_attribute("summary"):
             set_readability_data_table(table, True)
             continue
-        captions = table.get_elements_by_tag_name("caption")
-        if captions and captions[0].first_child is not None:
+        caption = next(table.iter_desc("caption"), None)
+        if caption is not None and caption.first_child is not None:
             set_readability_data_table(table, True)
             continue
         found = False
         for desc_tag in ("col", "colgroup", "tfoot", "thead", "th"):
-            if table.get_elements_by_tag_name(desc_tag):
+            if next(table.iter_desc(desc_tag), None) is not None:
                 set_readability_data_table(table, True)
                 found = True
                 break
         if found:
             continue
-        if table.get_elements_by_tag_name("table"):
+        if next(table.iter_desc("table"), None) is not None:
             set_readability_data_table(table, False)
             continue
         rows, columns = get_row_and_column_count(table)
@@ -196,12 +188,10 @@ def _clean_extra_paragraphs(article: Document) -> None:
     # C8 — src/Readability.php:1414-1439, reverse iteration
     paragraphs = article.get_elements_by_tag_name("p")
     for paragraph in reversed(paragraphs):
-        img = len(paragraph.get_elements_by_tag_name("img"))
-        embed = len(paragraph.get_elements_by_tag_name("embed"))
-        obj = len(paragraph.get_elements_by_tag_name("object"))
-        iframe = len(paragraph.get_elements_by_tag_name("iframe"))
-        if img + embed + obj + iframe == 0 and not REGEXPS["onlyWhitespace"].sub(
-            "", paragraph.text_content
+        c = count_desc(paragraph, ("img", "embed", "object", "iframe"))
+        if (
+            c["img"] + c["embed"] + c["object"] + c["iframe"] == 0
+            and not REGEXPS["onlyWhitespace"].sub("", paragraph.text_content)
         ):
             remove_node(paragraph)
 
@@ -224,15 +214,17 @@ def _clean_conditionally(ctx, article: Document, tag: str) -> None:
             remove_node(node)
             continue
         if get_text_content(node).count(",") < 10:
-            p = len(node.get_elements_by_tag_name("p"))
-            img = len(node.get_elements_by_tag_name("img"))
-            li = len(node.get_elements_by_tag_name("li")) - 100  # literal (:1495)
-            inputs = len(node.get_elements_by_tag_name("input"))
+            c = count_desc(node, ("p", "img", "li", "input", "embed"))
+            p = c["p"]
+            img = c["img"]
+            li = c["li"] - 100  # literal (:1495)
+            inputs = c["input"]
 
             embed_count = 0
-            for embed_node in node.get_elements_by_tag_name("embed"):
-                if REGEXPS["videos"].search(serialize(embed_node)):
-                    embed_count += 1
+            if c["embed"]:
+                for embed_node in node.get_elements_by_tag_name("embed"):
+                    if REGEXPS["videos"].search(serialize(embed_node)):
+                        embed_count += 1
 
             link_density = get_link_density(node)
             content_length = len(get_text_content(node, True))
@@ -256,20 +248,41 @@ def _clean_conditionally(ctx, article: Document, tag: str) -> None:
 
 
 def _clean(ctx, article: Document, tag: str) -> None:
+    _clean_many(ctx, article, (tag,))
+
+
+def _attached(node: Node, root: Document) -> bool:
+    p = node.parent
+    while p is not None:
+        if p is root:
+            return True
+        p = p.parent
+    return False
+
+
+def _clean_many(ctx, article: Document, tags: tuple) -> None:
     # C2 — src/Readability.php:1537-1568; embeds survive if the videos regex
-    # matches any attribute value or the serialized body
-    is_embed = tag in ("object", "embed", "iframe")
-    nodes = article.get_elements_by_tag_name(tag)
-    for item in reversed(nodes):
-        if item.parent is None:
-            continue
-        if is_embed:
-            attribute_values = "|".join(item.attrs.values())
-            if REGEXPS["videos"].search(attribute_values):
+    # matches any attribute value or the serialized body.  One article walk
+    # collects candidates for ALL tags (the reference walks once per tag);
+    # removal then proceeds per tag in call order, reverse document order,
+    # skipping nodes whose subtree was already detached — semantics
+    # identical to re-querying between tags.
+    by_tag: dict = {t: [] for t in tags}
+    for el in article.iter_desc():
+        if el.tag in by_tag:
+            by_tag[el.tag].append(el)
+    for tag in tags:
+        is_embed = tag in ("object", "embed", "iframe")
+        for item in reversed(by_tag[tag]):
+            if item.parent is None or (len(tags) > 1 and not _attached(item, article)):
                 continue
-            if REGEXPS["videos"].search(serialize(item)):
-                continue
-        remove_node(item)
+            if is_embed:
+                attribute_values = "|".join(item.attrs.values())
+                if REGEXPS["videos"].search(attribute_values):
+                    continue
+                if REGEXPS["videos"].search(serialize(item)):
+                    continue
+            remove_node(item)
 
 
 def _clean_headers(ctx, article: Document) -> None:
