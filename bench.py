@@ -156,26 +156,48 @@ def raw_cpu_ladder() -> dict[int, float]:
     return ladder
 
 
+def _ambient_spin() -> float:
+    """Single-core spin benchmark; ~0.49s on this VM when quiet, higher
+    under hypervisor steal.  Used to gate measurement windows."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    return time.perf_counter() - t0
+
+
 def scaling_mode() -> None:
     n = int(os.environ.get("SCALING_N", "2"))
+    reps = int(os.environ.get("SCALING_REPS", "3"))
     ladder = raw_cpu_ladder()
     print("raw cpu tasks/s:", {k: round(v, 2) for k, v in ladder.items()})
-    results = {}
-    for cores in (n, 4 * n):
-        spark = make_session(cores)
-        ensure_corpus(spark)
-        # warm-up pass (worker spawn, page cache), then best of 2 measured
-        run_extraction(spark, cores)
-        best = None
-        for _ in range(2):
+    # Interleaved A/B passes with best-per-level: hypervisor steal on this
+    # VM drifts on a minutes scale, so consecutive one-shot measurements of
+    # the two levels can land in different noise regimes.  Interleaving +
+    # best-of cancels the drift; the ambient spin is recorded per pass.
+    best = {n: None, 4 * n: None}
+    docs_count = 0
+    spins = []
+    for rep in range(reps):
+        for cores in (n, 4 * n):
+            spark = make_session(cores)
+            ensure_corpus(spark)
+            run_extraction(spark, cores)  # warm-up (workers, page cache)
+            spin = _ambient_spin()
+            spins.append(round(spin, 3))
             sec, docs = run_extraction(spark, cores)
-            if best is None or sec < best[0]:
-                best = (sec, docs)
-        sec, docs = best
-        results[cores] = (sec, docs, docs / sec)
-        print(f"local[{cores}]: {docs} docs in {sec:.1f}s = {docs/sec:.1f} docs/sec")
-        spark.stop()
-        time.sleep(2)
+            docs_count = docs
+            thr = docs / sec
+            if best[cores] is None or thr > best[cores][2]:
+                best[cores] = (sec, docs, thr)
+            print(f"rep{rep} local[{cores}]: {sec:.1f}s = {thr:.1f} docs/s (spin {spin:.3f})")
+            spark.stop()
+            time.sleep(1)
+    results = best
+    print("ambient spins per pass:", spins)
+    for cores in (n, 4 * n):
+        sec, docs, thr = results[cores]
+        print(f"BEST local[{cores}]: {docs} docs in {sec:.1f}s = {thr:.1f} docs/sec")
     t_n, t_4n = results[n][2], results[4 * n][2]
     eff = t_4n / (4 * t_n)
     ladder_str = ", ".join("%d: %.1f" % (k, v) for k, v in ladder.items())
@@ -205,7 +227,9 @@ Corpus: deterministic fixture corpus — the reference's 89 golden pages
 = {results[n][1]} documents, materialized to parquet. Job: parquet scan
 (8 MB splits) -> mapInPandas extraction (Arrow maxRecordsPerBatch=64, no
 shuffle in the hot path) -> append-commit parquet + per-bucket manifest.
-Best of 2 measured passes after one warm-up pass per session.
+Interleaved A/B passes (best per level) with per-pass ambient-spin
+recording — hypervisor steal on this VM drifts minute-to-minute, so
+one-shot sequential measurement of the two levels is unreliable.
 
 | parallelism | docs | wall sec | docs/sec |
 |---|---|---|---|
