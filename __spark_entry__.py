@@ -33,7 +33,12 @@ from readability_php_spark.operators.multimodal import (  # noqa: E402
     extract_media_features,
     synthetic_media_df,
 )
-from readability_php_spark.operators.similarity import ann_topk, cosine_topk  # noqa: E402
+from readability_php_spark.operators.similarity import (  # noqa: E402
+    ann_topk,
+    cosine_topk,
+    embedding_near_dups,
+)
+from readability_php_spark.operators.dedup import exact_dedup  # noqa: E402
 from readability_php_spark.operators.text_analysis import analyze  # noqa: E402
 from readability_php_spark.plans.pipeline import tune_session_for_extraction  # noqa: E402
 from readability_php_spark.sources.pages import (  # noqa: E402
@@ -194,6 +199,36 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection over a corpus with synthetic
+    duplicates (every vector copied at vec_id+10000): each (i, i+10000)
+    pair must surface with cosine 1.0."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").filter(
+        F.col("vec_id") < 100
+    )
+    dupes = emb.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    both = emb.unionByName(dupes)
+    return embedding_near_dups(both, threshold=0.99, bits=4).orderBy("id_a", "id_b")
+
+
+def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: quality/lang/token filters + exact
+    dedup — the one-liner a corpus curator runs before tokenization."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = exact_dedup(docs)  # min-doc_id representative per fingerprint
+    stats = analyze(kept)
+    return (
+        stats.join(kept.select("doc_id", "lang"), "doc_id")
+        .filter(
+            (F.col("quality") >= 0.5)
+            & (F.col("n_tokens") >= 30)
+            & (F.col("lang_pred") == F.col("lang"))
+        )
+        .select("doc_id", "lang", "n_tokens", "quality")
+        .orderBy("doc_id")
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window counts (the batch shape of the streaming rollup)."""
     events = load_table(spark, sf_dir, "events")
@@ -284,6 +319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": q_simhash_candidates,
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "training_filter": q_training_filter,
         "events_hourly": q_events_hourly,
         "revenue_by_nation": q_revenue_by_nation,
         "pricing_summary": q_pricing_summary,
@@ -483,6 +520,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos_sim, rank::INT AS rank
             FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
         """,
+        "embedding_near_dups": """
+            WITH both_vecs AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+              UNION ALL
+              SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 100),
+            b AS (
+              SELECT vec_id AS id, embedding AS vec,
+                     (case when embedding[1] >= 0 then 1 else 0 end)
+                   + (case when embedding[2] >= 0 then 2 else 0 end)
+                   + (case when embedding[3] >= 0 then 4 else 0 end)
+                   + (case when embedding[4] >= 0 then 8 else 0 end) AS bucket
+              FROM both_vecs)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]), 4) AS cos_sim
+            FROM b a JOIN b b ON a.bucket = b.bucket AND a.id < b.id
+            WHERE round(list_cosine_similarity(a.vec::DOUBLE[], b.vec::DOUBLE[]), 4) >= 0.99
+            ORDER BY id_a, id_b
+        """,
+        "training_filter": f"""
+            WITH kept AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER
+                  (PARTITION BY {_FP} ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1),
+            base AS (
+              SELECT doc_id, lang, text,
+                     case when trim(text) = '' then 0
+                          else len(string_split_regex(trim(text), '\\s+')) end AS n_tokens
+              FROM kept)
+            SELECT doc_id, lang, n_tokens, {{quality}} AS quality
+            FROM base
+            WHERE {{quality}} >= 0.5 AND n_tokens >= 30
+              AND ({{lang_pred}}) = lang
+            ORDER BY doc_id
+        """.format(quality=quality, lang_pred=lang_pred),
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS value_sum

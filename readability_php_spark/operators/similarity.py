@@ -67,6 +67,38 @@ def cosine_topk(
     )
 
 
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
+
+    Scale shape: the self-join is restricted to sign-bit buckets (high-cosine
+    pairs almost always share leading sign bits; recall/cost tunes via
+    ``bits``), so the shuffle key is the bucket — never an all-pairs cross
+    product.  Exactness within a bucket; rounded for cross-engine parity."""
+    b = embeddings.withColumn("bucket", signbit_bucket(vec_col, bits)).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket"
+    )
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos_sim"),
+        )
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)
+
+
 def signbit_bucket(vec_col: str, bits: int = 8) -> Column:
     """Deterministic coarse bucket: sign bits of the first ``bits`` dims.
     SQL expression because shiftleft needs a column-valued shift amount."""
