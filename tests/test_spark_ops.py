@@ -224,3 +224,34 @@ def test_resume_refuses_bucketing_change(spark, tmp_path):
     run_extract_job(spark, pages, out_dir, num_buckets=16, config=CFG)
     with pytest.raises(ValueError, match="num_buckets"):
         run_extract_job(spark, pages, out_dir, num_buckets=8, config=CFG)
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    from readability_php_spark.streaming.sessions import sessionize
+
+    src = str(tmp_path / "events_src")
+    load_table(spark, SF, "events").select("user_id", "ts", "value").write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(src)
+    )
+    sessions = sessionize(stream, gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from sessions_out")
+    n_users = load_table(spark, SF, "events").select("user_id").distinct().count()
+    got_users = out.select("user_id").distinct().count()
+    assert got_users == n_users
+    # per-user event conservation: closed-gap sessions + final open session
+    agg = out.groupBy("user_id").agg(F.sum("events").alias("n"))
+    truth = load_table(spark, SF, "events").groupBy("user_id").count()
+    j = agg.join(truth, "user_id").filter(F.col("n") != F.col("count"))
+    assert j.count() == 0, j.limit(5).collect()
+    # sessions respect the gap: start <= end everywhere
+    assert out.filter(F.col("session_start") > F.col("session_end")).count() == 0
