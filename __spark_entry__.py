@@ -256,6 +256,63 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup over (lang, source): subtotal rows NULL-filled —
+    the cube/rollup surface of the relational layer."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(F.count("*").alias("docs"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+        .orderBy(F.asc_nulls_first("lang"), F.asc_nulls_first("source"))
+    )
+
+
+def q_median_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (percentile cont) per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"))
+        .orderBy("lang")
+    )
+
+
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively, composed from a union +
+    window — SURVEY §2.9 'custom operator as composition'): for each
+    'purchase' event, the most recent prior 'click' by the same user."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    # union-tag trick: sort by time within user, carry the last click forward
+    tagged = purchases.select(
+        "user_id", F.col("pts").alias("ts"), F.lit(None).cast("long").alias("click_id"),
+        F.col("purchase_id"), F.lit(1).alias("is_p"),
+    ).unionByName(
+        clicks.select(
+            "user_id", F.col("cts").alias("ts"), F.col("click_id"),
+            F.lit(None).cast("long").alias("purchase_id"), F.lit(0).alias("is_p"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_p"), F.col("click_id").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = tagged.withColumn("last_click", F.last("click_id", ignorenulls=True).over(w))
+    return (
+        joined.filter(F.col("is_p") == 1)
+        .select("user_id", "purchase_id", F.col("last_click").alias("prior_click_id"))
+        .orderBy("purchase_id")
+    )
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational layer demo: 3-way join with broadcast dims + agg."""
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -333,6 +390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "training_filter": q_training_filter,
         "events_hourly": q_events_hourly,
+        "rollup_stats": q_rollup_stats,
+        "median_chars_by_lang": q_median_chars_by_lang,
+        "asof_join_events": q_asof_join_events,
         "revenue_by_nation": q_revenue_by_nation,
         "pricing_summary": q_pricing_summary,
         "media_features": q_media_features,
@@ -570,6 +630,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS value_sum
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "rollup_stats": """
+            SELECT lang, source, count(*) AS docs,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY ROLLUP (lang, source)
+            ORDER BY lang NULLS FIRST, source NULLS FIRST
+        """,
+        "median_chars_by_lang": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.5), 4) AS median_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "asof_join_events": """
+            WITH purchases AS (
+              SELECT user_id, event_id AS purchase_id, ts FROM events
+              WHERE event_type = 'purchase'),
+            clicks AS (
+              SELECT user_id, event_id AS click_id, ts FROM events
+              WHERE event_type = 'click')
+            SELECT p.user_id, p.purchase_id,
+                   (SELECT c.click_id FROM clicks c
+                    WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                    ORDER BY c.ts DESC, c.click_id DESC LIMIT 1) AS prior_click_id
+            FROM purchases p ORDER BY p.purchase_id
         """,
         "revenue_by_nation": """
             SELECT n_name,
