@@ -287,6 +287,35 @@ class Element(Node):
         return f"<{self.tag} {self.attrs!r}>"
 
 
+def deep_clone(node: "Node") -> "Node":
+    """Structural deep copy (fresh score/init state, like a re-parse).
+    Iterative; used by the retry loop to avoid re-tokenizing the raw HTML
+    on attempts 3+ (the PHP reference re-parses because PHP DOM cloning
+    shares state — src/Readability.php:242-244; ours doesn't)."""
+    def shallow(n: "Node") -> "Node":
+        t = n.node_type
+        if t == ELEMENT_NODE:
+            return Element(n.tag, dict(n.attrs))  # type: ignore[union-attr]
+        if t == TEXT_NODE:
+            return Text(n.data)  # type: ignore[union-attr]
+        if t == COMMENT_NODE:
+            return Comment(n.data)  # type: ignore[union-attr]
+        return Document()
+
+    root_copy = shallow(node)
+    stack: list = [(node, root_copy)]
+    while stack:
+        src, dst = stack.pop()
+        child = getattr(src, "first_child", None)
+        while child is not None:
+            c = shallow(child)
+            dst.append_child(c)
+            if child.node_type in (ELEMENT_NODE, DOCUMENT_NODE) and child.first_child is not None:
+                stack.append((child, c))
+            child = child.next
+    return root_copy
+
+
 class Document(Element):
     """Root container. ``tag`` is the pseudo-tag '#document' so generic
     element code can treat it uniformly (the reference's rateNodes builds a

@@ -15,7 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
-from ..dom.node import Document
+from ..dom.node import Document, deep_clone
 from ..dom.parser import parse_html
 from ..dom.serializer import serialize
 from ..config import Configuration
@@ -79,6 +79,7 @@ class Readability:
         self.direction: Optional[str] = None
         self.content: Optional[Document] = None
         self.attempts: list[tuple[object, int]] = []
+        self._pristine: Optional[Document] = None  # prepped tree for retries
 
     # --- S1-S3: load --------------------------------------------------------
     def load_html(self, html: str) -> Document:
@@ -165,8 +166,12 @@ class Readability:
                         return result
                     article = best[0]
                     break
-                # reload DOM for the next attempt
-                self.dom = self.load_html(html)
+                # reload DOM for the next attempt: tokenize once, clone after
+                # (semantically identical to the reference's re-parse; our
+                # DOM clones don't share state)
+                if self._pristine is None:
+                    self._pristine = self.load_html(html)
+                self.dom = deep_clone(self._pristine)
                 body = self.dom.body
                 if body is None:
                     result.error = ERROR_INVALID_HTML
