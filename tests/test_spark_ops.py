@@ -255,3 +255,32 @@ def test_stateful_sessionize(spark, tmp_path):
     assert j.count() == 0, j.limit(5).collect()
     # sessions respect the gap: start <= end everywhere
     assert out.filter(F.col("session_start") > F.col("session_end")).count() == 0
+
+
+def test_warc_ingestion_end_to_end(spark, tmp_path):
+    """WARC files -> pages DataFrame -> extraction pipeline."""
+    from readability_php_spark.sources.warc import read_warc_directory, write_warc
+
+    import os as _os
+    TP = "/root/reference/test/test-pages"
+    cases = ["001", "002", "rtl-1", "base-url"]
+    pages = []
+    for i, case in enumerate(cases):
+        with open(_os.path.join(TP, case, "source.html"), "rb") as f:
+            pages.append((f"http://fakehost/{case}/", f"2024-01-01T00:00:0{i}Z", f.read()))
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    write_warc(str(wdir / "a.warc"), pages[:2], compress=False)
+    write_warc(str(wdir / "b.warc.gz"), pages[2:], compress=True)
+
+    df = read_warc_directory(spark, str(wdir))
+    rows = df.collect()
+    assert len(rows) == 4
+    assert {r.url for r in rows} == {p[0] for p in pages}
+    assert all(r.warc_ts is not None for r in rows)
+
+    out = extract_operator(df, CFG).collect()
+    assert len(out) == 4
+    assert all(r.error is None for r in out)
+    by_url = {r.url: r for r in out}
+    assert by_url["http://fakehost/001/"].title is not None
