@@ -37,6 +37,7 @@ from readability_php_spark.operators.similarity import (  # noqa: E402
     ann_topk,
     cosine_topk,
     embedding_near_dups,
+    ivf_topk,
 )
 from readability_php_spark.operators.dedup import exact_dedup  # noqa: E402
 from readability_php_spark.operators.text_analysis import analyze  # noqa: E402
@@ -206,6 +207,15 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10, bits=8).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (deterministic k-means coarse quantizer, 2-cell probe) —
+    approximate by design; rows-only check, recall asserted in unit tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_ids=[0, 1, 2], k=10, n_centroids=8, n_probe=2).orderBy(
         "query_id", "rank"
     )
 
@@ -387,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": q_simhash_candidates,
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "training_filter": q_training_filter,
         "events_hourly": q_events_hourly,

@@ -67,6 +67,120 @@ def cosine_topk(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means (IVF coarse quantizer).
+
+    Init = the k lowest-id vectors (seed-free, reproducible).  Each
+    iteration: broadcast the k centroids, assign by min L2 (argmin over a
+    transform — JVM column algebra), recompute means with one groupBy.
+    At 10^12 vectors this is the standard IVF training shape: centroids are
+    tiny (broadcast), assignment is a map-side pass, the only shuffle is the
+    k-way average."""
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).alias("cvec"))
+        .withColumn("cid", F.monotonically_increasing_id().cast("int"))
+    )
+    # collect is safe: k vectors
+    centroids = [(r.cid, list(r.cvec)) for r in cents.collect()]
+    dim = len(centroids[0][1])
+    for _ in range(iters):
+        cent_df = embeddings.sparkSession.createDataFrame(
+            [(c, [float(x) for x in v]) for c, v in centroids],
+            "cid int, cvec array<double>",
+        )
+        assigned = embeddings.crossJoin(F.broadcast(cent_df)).select(
+            id_col,
+            vec_col,
+            "cid",
+            F.aggregate(
+                F.zip_with(F.col(vec_col), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("d2"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cid"))
+        best = assigned.withColumn("rk", F.row_number().over(w)).filter("rk = 1")
+        means = (
+            best.select("cid", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s.getField("m")).alias("cvec"))
+        )
+        new = {r.cid: list(r.cvec) for r in means.collect()}
+        centroids = [(c, new.get(c, v)) for c, v in centroids]
+        assert all(len(v) == dim for _, v in centroids)
+    return embeddings.sparkSession.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in centroids],
+        "cid int, cvec array<double>",
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: assign corpus vectors to their nearest
+    centroid; queries probe the ``n_probe`` nearest cells only."""
+    cent = kmeans_centroids(embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
+
+    def assign(df: DataFrame, probes: int, id_alias: str) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(F.col(vec_col), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.asc("d2"), F.asc("cid"))
+        return (
+            df.crossJoin(F.broadcast(cent))
+            .withColumn("d2", d2)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= probes)
+        )
+
+    corpus = assign(
+        embeddings.select(F.col(id_col), F.col(vec_col)), 1, id_col
+    ).select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec_corp"), "cid")
+    queries = assign(
+        embeddings.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col), F.col(vec_col)
+        ),
+        n_probe,
+        id_col,
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cid")
+
+    scored = (
+        corpus.join(queries, "cid")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("corpus_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col("cvec_corp")), 4).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

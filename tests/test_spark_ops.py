@@ -284,3 +284,24 @@ def test_warc_ingestion_end_to_end(spark, tmp_path):
     assert all(r.error is None for r in out)
     by_url = {r.url: r for r in out}
     assert by_url["http://fakehost/001/"].title is not None
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from readability_php_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = cosine_topk(emb, [0, 1], k=5).collect()
+    approx = ivf_topk(emb, [0, 1], k=5, n_centroids=8, n_probe=3).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # approximate, but probing 3/8 cells must recover a reasonable fraction
+    for q in exact_sets:
+        recall = len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        assert recall >= 0.2, f"query {q} recall {recall}"
+    # determinism
+    approx2 = ivf_topk(emb, [0, 1], k=5, n_centroids=8, n_probe=3).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, approx2))
