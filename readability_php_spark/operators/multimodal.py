@@ -87,6 +87,57 @@ def _byte_histogram_features(payload: bytes, dims: int = 8) -> list[float]:
     return [round(c / total, 6) for c in buckets]
 
 
+def resize_image(payload: bytes, width: int, height: int, *, fake: bool = False) -> bytes:
+    """STUB — real resize needs PIL/libvips (absent here).  ``fake=True``
+    returns a deterministic truncation/padding to width*height bytes so the
+    batch plumbing (shapes, schemas) is testable."""
+    if not fake:
+        raise NotImplementedError("image resize requires PIL/libvips")
+    need = width * height
+    return (payload * (need // max(len(payload), 1) + 1))[:need]
+
+
+def sample_frames(payload: bytes, every_n: int = 10, *, fake: bool = False) -> list[bytes]:
+    """STUB — real frame sampling needs ffmpeg (absent).  ``fake=True``
+    treats the payload as fixed-size pseudo-frames and returns every n-th."""
+    if not fake:
+        raise NotImplementedError("frame sampling requires ffmpeg")
+    frame_size = 64
+    frames = [payload[i : i + frame_size] for i in range(0, len(payload), frame_size)]
+    return frames[::every_n]
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), True),
+    StructField("frame_idx", IntegerType(), True),
+    StructField("frame", BinaryType(), True),
+])
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """video rows → one row per sampled frame (explode shape: the Arrow
+    batches carry binary frames, the downstream feature extractor reuses
+    extract_media_features' discipline)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {f.name: [] for f in FRAME_SCHEMA.fields}
+            for i in range(len(pdf)):
+                if pdf["kind"].iat[i] != "video":
+                    continue
+                raw = pdf["payload"].iat[i]
+                raw = bytes(raw) if raw is not None else b""
+                for idx, frame in enumerate(sample_frames(raw, every_n, fake=True)):
+                    out["media_id"].append(pdf["media_id"].iat[i])
+                    out["frame_idx"].append(idx)
+                    out["frame"].append(frame)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )
+
+
 def extract_media_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame:
     """media(media_id, kind, payload:binary) → features frame via Arrow
     batches.  Mirrors the HTML extractor's batch discipline: one output row

@@ -305,3 +305,20 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     # determinism
     approx2 = ivf_topk(emb, [0, 1], k=5, n_centroids=8, n_probe=3).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, approx2))
+
+
+def test_video_frame_sampling(spark):
+    from readability_php_spark.operators.multimodal import sample_video_frames
+
+    docs = load_table(spark, SF, "documents").limit(30)
+    media = synthetic_media_df(spark, docs)
+    frames = sample_video_frames(media, every_n=5).collect()
+    assert len(frames) > 0
+    # only video rows contribute; frame indices are dense from 0
+    vids = {r.media_id for r in frames}
+    assert all(m % 3 == 2 for m in vids)  # synthetic kind()==video ↔ id%3==2
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    for idxs in by_media.values():
+        assert sorted(idxs) == list(range(len(idxs)))
