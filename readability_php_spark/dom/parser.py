@@ -191,6 +191,62 @@ class TreeBuilder(HTMLParser):
                 self.set_cdata_mode(tag)
         return j
 
+    def goahead(self, end):
+        """Lean tokenizer loop.  The stdlib loop pays updatepos bookkeeping,
+        charref-boundary buffering, and repeated method lookups per tag;
+        this engine always feeds whole documents (parse_html does one feed +
+        close), so end-of-buffer semantics are those of end=1.  All tag-body
+        parsing still goes through parse_starttag/parse_endtag/
+        parse_comment/parse_html_declaration — recovery identical."""
+        rawdata = self.rawdata
+        i, n = 0, len(rawdata)
+        handle_data = self.handle_data
+        while i < n:
+            if self.cdata_elem:
+                match = self.interesting.search(rawdata, i)
+                if match is None:
+                    break  # unterminated CDATA: stdlib buffers it too
+                j = match.start()
+                if i < j:
+                    handle_data(rawdata[i:j])
+            else:
+                j = rawdata.find("<", i)
+                if j < 0:
+                    j = n
+                if i < j:
+                    chunk = rawdata[i:j]
+                    handle_data(unescape(chunk) if "&" in chunk else chunk)
+            i = j
+            if i == n:
+                break
+            nxt = rawdata[i + 1 : i + 2]
+            if ("a" <= nxt <= "z") or ("A" <= nxt <= "Z"):
+                k = self.parse_starttag(i)
+            elif nxt == "/":
+                k = self.parse_endtag(i)
+            elif nxt == "!":
+                if rawdata.startswith("<!--", i):
+                    k = self.parse_comment(i)
+                else:
+                    k = self.parse_html_declaration(i)
+            elif nxt == "?":
+                k = self.parse_pi(i)
+            else:
+                handle_data("<")
+                k = i + 1
+            if k < 0:
+                # malformed/truncated construct: stdlib end-of-stream recovery
+                k = rawdata.find(">", i + 1)
+                if k < 0:
+                    k = rawdata.find("<", i + 1)
+                    if k < 0:
+                        k = i + 1
+                else:
+                    k += 1
+                handle_data(rawdata[i:k])
+            i = k
+        self.rawdata = rawdata[i:]
+
     def parse_endtag(self, i):
         if self.cdata_elem is not None:
             # inside <script>/<style>: the stdlib path validates the tag and
