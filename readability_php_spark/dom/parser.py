@@ -35,6 +35,8 @@ from .node import Comment, Document, Element, Text
 # Matches the common well-formed case in one pass; anything irregular falls
 # back to the stdlib's tolerant parser, so error recovery is unchanged.
 _FAST_TAGNAME = re.compile(r"[a-zA-Z][a-zA-Z0-9:._-]*")
+# attr-less tags (the majority on real pages): one regex, no attr loop
+_FAST_BARE = re.compile(r"([a-zA-Z][a-zA-Z0-9:._-]*)\s*(/?)>")
 _FAST_ATTR = re.compile(
     r"""\s*([^\s/=<>'"][^\s/=<>]*)"""                 # attr name
     r"""(?:\s*=\s*("[^"]*"|'[^']*'|[^\s<>"'`=]+))?"""  # optional value
@@ -147,6 +149,17 @@ class TreeBuilder(HTMLParser):
         anything unusual (mismatched quotes, junk, EOF truncation) so
         recovery behavior — and therefore golden parity — is identical."""
         rawdata = self.rawdata
+        m = _FAST_BARE.match(rawdata, i + 1)
+        if m is not None:
+            tag = m.group(1).lower()
+            self.lasttag = tag
+            if m.group(2):
+                self.handle_startendtag(tag, [])
+            else:
+                self.handle_starttag(tag, [])
+                if tag in self.CDATA_CONTENT_ELEMENTS:
+                    self.set_cdata_mode(tag)
+            return m.end()  # match() anchored at i+1 → end is absolute
         m = _FAST_TAGNAME.match(rawdata, i + 1)
         if m is None:
             return super().parse_starttag(i)

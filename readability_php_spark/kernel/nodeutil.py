@@ -81,7 +81,14 @@ def get_text_content(node: Node, normalize: bool = False) -> str:
     # NodeTrait.php:305-313
     value = node.text_content
     if normalize:
-        value = REGEXPS["normalize"].sub(" ", value).strip()
+        # precheck: runs of >=2 ws require a double space or a \t\n\r\f\v
+        # anywhere — skips the regex on the (common) single-spaced text
+        if (
+            "  " in value or "\t" in value or "\n" in value
+            or "\r" in value or "\f" in value or "\v" in value
+        ):
+            value = REGEXPS["normalize"].sub(" ", value)
+        return value.strip()
     return value
 
 
@@ -175,10 +182,9 @@ def is_element_without_content(node: Node) -> bool:
     children = node.child_nodes
     if len(children) == 0:
         return True
-    brs = len(node.get_elements_by_tag_name("br"))
-    hrs = len(node.get_elements_by_tag_name("hr"))
-    texts = sum(1 for c in children if c.node_type == TEXT_NODE)
-    return len(children) == brs + hrs + texts
+    c = count_desc(node, ("br", "hr"))
+    texts = sum(1 for ch in children if ch.node_type == TEXT_NODE)
+    return len(children) == c["br"] + c["hr"] + texts
 
 
 def is_phrasing_content(node: Node) -> bool:

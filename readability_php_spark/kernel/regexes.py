@@ -28,7 +28,9 @@ REGEXPS = {
     ),
     "byline": re.compile(r"byline|author|dateline|writtenby|p-author", re.IGNORECASE),
     "replaceFonts": re.compile(r"<(\/?)font[^>]*>", re.IGNORECASE),
-    "normalize": re.compile(r"\s{2,}"),
+    # PHP PCRE \s without /u is ASCII-only — Python's str \s is Unicode-
+    # aware, so spell the class out for parity on exotic whitespace
+    "normalize": re.compile(r"[ \t\n\r\f\v]{2,}"),
     "videos": re.compile(
         r"\/\/(www\.)?((dailymotion|youtube|youtube-nocookie|player\.vimeo|"
         r"v\.qq)\.com|(archive|upload\.wikimedia)\.org|player\.twitch\.tv)",
@@ -36,7 +38,7 @@ REGEXPS = {
     ),
     "nextLink": re.compile(r"(next|weiter|continue|>([^\|]|$)|»([^\|]|$))", re.IGNORECASE),
     "prevLink": re.compile(r"(prev|earl|old|new|<|«)", re.IGNORECASE),
-    "whitespace": re.compile(r"^\s*$"),
+    "whitespace": re.compile(r"^[ \t\n\r\f\v]*$"),
     "hasContent": re.compile(r"\S$"),
     "positive": re.compile(
         r"article|body|content|entry|hentry|h-entry|main|page|pagination|"
