@@ -14,14 +14,15 @@ import re
 from typing import Optional
 
 from ..dom.node import Document, Element
+from .nodeutil import php_trim
 from .regexes import META_NAME, META_PROPERTY
 
 _WS = re.compile(r"\s")
 _ABS_URI = re.compile(r"^[a-zA-Z][a-zA-Z0-9\+\-\.]*:")
 _SEP_SEARCH = re.compile(r" [\|\-\\\/>»] ", re.IGNORECASE)
 _SEP_HIER = re.compile(r" [\\\/>»] ")
-_SEP_CUT_END = re.compile(r"(.*)[\|\-\\\/>»] .*", re.IGNORECASE | re.DOTALL)
-_SEP_CUT_FRONT = re.compile(r"[^\|\-\\\/>»]*[\|\-\\\/>»](.*)", re.IGNORECASE | re.DOTALL)
+_SEP_CUT_END = re.compile(r"(.*)[\|\-\\\/>»] .*", re.IGNORECASE)
+_SEP_CUT_FRONT = re.compile(r"[^\|\-\\\/>»]*[\|\-\\\/>»](.*)", re.IGNORECASE)
 _SEP_STRIP = re.compile(r"[\|\-\\\/>»]+")
 _SPLIT_WS = re.compile(r"\s+")
 
@@ -47,11 +48,11 @@ def scan_meta_values(doc: Document) -> dict[str, str]:
                     if g is None:
                         continue
                     name = _WS.sub("", g.lower())
-                    values[name] = content.strip()
+                    values[name] = php_trim(content)
         if not matched and element_name and META_NAME.search(element_name):
             if content:
                 name = _WS.sub("", element_name.lower()).replace(".", ":")
-                values[name] = content.strip()
+                values[name] = php_trim(content)
     return values
 
 
@@ -69,7 +70,7 @@ def coalesce_metadata(values: dict[str, str]) -> dict[str, Optional[str]]:
         "weibo:webpage:title", "title", "twitter:title",
     ])
     return {
-        "title": title.strip() if title is not None else None,
+        "title": php_trim(title) if title is not None else None,
         "author": _first_key(values, ["dc:creator", "dcterm:creator", "author"]),
         "excerpt": _first_key(values, [
             "dc:description", "dcterm:description", "og:description",
@@ -97,7 +98,7 @@ def get_article_title(doc: Document, meta_title: Optional[str]) -> Optional[str]
     if original_title is None:
         return None
 
-    original_title = original_title.strip()
+    original_title = php_trim(original_title)
     cur_title = original_title
     title_had_hierarchical_separators = False
 
@@ -111,7 +112,7 @@ def get_article_title(doc: Document, meta_title: Optional[str]) -> Optional[str]
         match = False
         for i in (1, 2):
             for h in doc.iter_desc(f"h{i}"):
-                if h.text_content.strip() == cur_title.strip():
+                if php_trim(h.text_content) == php_trim(cur_title):
                     match = True
         if not match:
             idx = original_title.rfind(":")
@@ -129,7 +130,7 @@ def get_article_title(doc: Document, meta_title: Optional[str]) -> Optional[str]
         if len(h_ones) == 1:
             cur_title = h_ones[0].text_content
 
-    cur_title = cur_title.strip()
+    cur_title = php_trim(cur_title)
 
     cur_count = _word_count(cur_title)
     orig_count = _word_count(_SEP_STRIP.sub("", original_title)) - 1

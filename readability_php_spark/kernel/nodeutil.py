@@ -21,6 +21,15 @@ from typing import Callable, Iterator, Optional, Union
 from ..dom.node import ELEMENT_NODE, TEXT_NODE, Element, Node, Text
 from .regexes import REGEXPS
 
+#: PHP trim() default character list (" \t\n\r\0\x0B") — NOT Unicode-aware;
+#: Python's str.strip() would also eat NBSP etc. and shift every length
+#: threshold in the kernel.
+PHP_TRIM_CHARS = " \t\n\r\0\x0b"
+
+
+def php_trim(s: str) -> str:
+    return s.strip(PHP_TRIM_CHARS)
+
 # NodeTrait.php:40-51
 DIV_TO_P_ELEMS = frozenset(
     ["a", "blockquote", "dl", "div", "img", "ol", "p", "pre", "table", "ul", "select"]
@@ -61,13 +70,13 @@ def get_class_weight(node: Element) -> int:
     # NodeTrait.php:267-296 — ±25 for negative/positive on class, again on id
     weight = 0
     cls = node.get_attribute("class")
-    if cls.strip():
+    if php_trim(cls):
         if REGEXPS["negative"].search(cls):
             weight -= 25
         if REGEXPS["positive"].search(cls):
             weight += 25
     nid = node.get_attribute("id")
-    if nid.strip():
+    if php_trim(nid):
         if REGEXPS["negative"].search(nid):
             weight -= 25
         if REGEXPS["positive"].search(nid):
@@ -88,7 +97,7 @@ def get_text_content(node: Node, normalize: bool = False) -> str:
             or "\r" in value or "\f" in value or "\v" in value
         ):
             value = REGEXPS["normalize"].sub(" ", value)
-        return value.strip()
+        return php_trim(value)
     return value
 
 
@@ -147,7 +156,7 @@ def filter_text_nodes(nodes: list[Node]) -> list[Node]:
     # NodeUtility.php:169-179
     return [
         n for n in nodes
-        if n.node_type != TEXT_NODE or len(n.node_value.strip())
+        if n.node_type != TEXT_NODE or len(php_trim(n.node_value))
     ]
 
 
@@ -213,7 +222,7 @@ def is_probably_visible(node: Element) -> bool:
 def is_whitespace(node: Node) -> bool:
     # NodeTrait.php:523-527
     if node.node_type == TEXT_NODE:
-        return len(node.text_content.strip()) == 0
+        return len(php_trim(node.text_content)) == 0
     return node.node_type == ELEMENT_NODE and node.tag == "br"
 
 

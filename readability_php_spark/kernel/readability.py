@@ -187,7 +187,9 @@ class Readability:
         if not self.excerpt:
             paragraphs = article.get_elements_by_tag_name("p")
             if paragraphs:
-                self.excerpt = paragraphs[0].text_content.strip()
+                from .nodeutil import php_trim
+
+                self.excerpt = php_trim(paragraphs[0].text_content)
 
         self.content = article
 

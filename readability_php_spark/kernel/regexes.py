@@ -72,13 +72,3 @@ META_NAME = re.compile(
     re.IGNORECASE,
 )
 
-# Title separators (src/Readability.php:479, 493, 507).
-TITLE_SEPARATOR = re.compile(r" [\|\-\\\/>»] ")
-TITLE_HIERARCHICAL = re.compile(r" [\\\/>»] ")
-TITLE_CUT_END = re.compile(r"(.*)[\|\-\\\/>»] .*", re.IGNORECASE)
-TITLE_CUT_FRONT = re.compile(r"[^\|\-\\\/>»]*[\|\-\\\/>»](.*)", re.IGNORECASE)
-
-# R2 length metric strips all whitespace + nbsp (src/Readability.php:172).
-STRIP_ALL_WS = re.compile(r"\xa0|\s+")
-
-# C8 empty-paragraph whitespace test is the same class.

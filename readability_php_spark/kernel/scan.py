@@ -12,6 +12,7 @@ from typing import Optional
 
 from ..dom.node import COMMENT_NODE, ELEMENT_NODE, Element, Node
 from .nodeutil import (
+    php_trim,
     filter_text_nodes,
     get_link_density,
     get_next_node,
@@ -34,8 +35,8 @@ DEFAULT_TAGS_TO_SCORE = frozenset(
 
 
 def is_valid_byline(text: str) -> bool:
-    # src/Readability.php:795-804
-    byline = text.strip()
+    # src/Readability.php:795-804 (PHP trim semantics)
+    byline = php_trim(text)
     return 0 < len(byline) < 100
 
 
@@ -52,7 +53,7 @@ def check_byline(ctx, node: Node, match_string: str) -> bool:
     if rel == "author" or (
         REGEXPS["byline"].search(match_string) and is_valid_byline(text)
     ):
-        ctx.author = text.strip()
+        ctx.author = php_trim(text)
         return True
     return False
 
