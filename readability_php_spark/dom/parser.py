@@ -395,13 +395,23 @@ class TreeBuilder(HTMLParser):
     def handle_starttag(self, tag, attrs):
         self._flush_pending_ws(False)
         if tag == "html":
-            self._merge_attrs(self._ensure_html(), attrs)
+            # libxml discards a misplaced/duplicate <html> tag entirely —
+            # including its attributes (htmlParseStartTag "misplaced <html>
+            # tag"); HTML5 would merge attrs, libxml does not.
+            if self.html is None:
+                self._merge_attrs(self._ensure_html(), attrs)
             return
         if tag == "head":
-            self._merge_attrs(self._ensure_head(), attrs)
+            # libxml discards <head> once body content has started.
+            if self.head is None and self.body is None:
+                self._merge_attrs(self._ensure_head(), attrs)
             return
         if tag == "body":
-            self._merge_attrs(self._ensure_body(), attrs)
+            # libxml discards a <body> tag when body is already open (e.g.
+            # content before <head> implied an attribute-less body) — the
+            # real tag's attributes (class/dir/...) are dropped, not merged.
+            if self.body is None:
+                self._merge_attrs(self._ensure_body(), attrs)
             return
         self._imply_end_tags(tag)
         el = Element(tag)
@@ -490,8 +500,13 @@ class TreeBuilder(HTMLParser):
             parent = self.body
         elif self.head is not None:
             parent = self.head
+        elif self.html is not None:
+            parent = self.html
         else:
-            parent = self._ensure_html()
+            # libxml keeps comments that precede <html> at the document
+            # level (they must not imply <html>/<body> — the real <html>
+            # tag that follows still owns its attributes).
+            parent = self.doc
         parent.append_child(Comment(data))
 
     def handle_decl(self, decl):

@@ -139,9 +139,14 @@ def rate_nodes(ctx, nodes: list[Element]):
             parent_of_top = parent_of_top.parent
 
         # --- A10: only-child climb ------------------------------------------
+        # The climb never crosses the Document: libxml documents always hold
+        # >=2 children (synthesized DTD + html, plus any PI/comments), so the
+        # reference's count(filterTextNodes(childNodes))===1 is false there
+        # (src/Readability.php:1095-1099).
         parent_of_top = top_candidate.parent
         while (
             parent_of_top is not None
+            and parent_of_top.node_type == 1
             and parent_of_top.tag != "body"
             and len(filter_text_nodes(parent_of_top.child_nodes)) == 1
         ):
