@@ -184,14 +184,18 @@ def q_ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates on the synthetic-duplicate corpus
-    (xxhash64-based — no SQL oracle; rows-only check)."""
+    """SimHash near-dup candidates on the synthetic-duplicate corpus.
+
+    Uses the md5-digit hash variant so DuckDB can reproduce the exact
+    simhash values (full value-hash oracle); production dedup at scale uses
+    the default xxhash64 variant of the same operator (unit-tested for the
+    identical pigeonhole/banding semantics)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
         F.col("doc_id") < 100
     )
     dupes = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     return (
-        simhash_near_dup_candidates(docs.unionByName(dupes))
+        simhash_near_dup_candidates(docs.unionByName(dupes), hash_fn="md5")
         .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
@@ -688,8 +692,55 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
-        # simhash_candidates, media_features: xxhash64/sha1 not reproducible
-        # in DuckDB → rows-only checks (intentionally omitted)
+        # SimHash: md5-digit bit source (bit i = hex digit i//4 of
+        # md5(token), shift i%4) is computable in both engines; bit 63 is
+        # the signed-min literal because DuckDB refuses 1::BIGINT << 63.
+        "simhash_candidates": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 100
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100
+            ),
+            toks AS (
+                SELECT doc_id,
+                       unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
+                FROM base
+            ),
+            votes AS (
+                SELECT doc_id, i,
+                       SUM(CASE WHEN ((instr('0123456789abcdef', substr(md5(tok), (i // 4) + 1, 1)) - 1)
+                                      >> (i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                FROM toks CROSS JOIN (SELECT unnest(range(0, 64)) AS i) bits
+                GROUP BY doc_id, i
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN vote > 0 THEN
+                                  CASE WHEN i = 63 THEN -9223372036854775808
+                                       ELSE (1::BIGINT << i) END
+                                ELSE 0 END) AS BIGINT) AS sh
+                FROM votes GROUP BY doc_id
+            ),
+            blocks AS (
+                SELECT doc_id, sh, b AS block, (sh >> (b * 16)) & 65535 AS val
+                FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                a.sh AS sh_a, b.sh AS sh_b
+                FROM blocks a
+                JOIN blocks b ON a.block = b.block AND a.val = b.val
+                            AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+            FROM pairs
+            WHERE bit_count(xor(sh_a, sh_b)) <= 3
+            ORDER BY doc_a, doc_b
+        """,
+        # media_features: sha1-fingerprint over binary + stubbed decode —
+        # rows-only check (intentionally omitted); ivf_topk: iterative
+        # k-means assignment — not SQL-expressible, recall-tested vs the
+        # oracle-checked brute-force cosine_topk instead.
     }
 
 

@@ -169,13 +169,29 @@ def minhash_lsh_candidates(
 
 # --- SimHash --------------------------------------------------------------------
 
-def simhash64(text_col: str) -> Column:
+def simhash64(text_col: str, hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash as bigint over the named text column.  Per distinct
-    token, xxhash64 supplies the bit pattern; each bit votes ±1; sign of the
-    sum sets the bit.  All column algebra (aggregate over a 64-slot vote
-    array) — no UDF.  Written as a SQL expression because
+    token, a 64-bit hash supplies the bit pattern; each bit votes ±1; sign
+    of the sum sets the bit.  All column algebra (aggregate over a 64-slot
+    vote array) — no UDF.  Written as a SQL expression because
     shiftleft/shiftright need column-valued shift amounts there (the
-    DataFrame API only accepts Python ints)."""
+    DataFrame API only accepts Python ints).
+
+    hash_fn="xxhash64" (default): one JVM intrinsic per token — the 100 TB
+    path.  hash_fn="md5": bit i comes from hex digit i//4 of md5(token)
+    (shift i%4) — byte-identical in any engine with md5/substr/instr, which
+    makes the operator oracle-checkable against DuckDB."""
+    if hash_fn == "xxhash64":
+        bits = """
+              transform(sequence(0, 63),
+                        i -> if((shiftright(xxhash64(tok), cast(i as int)) & 1L) = 1L, 1L, -1L))"""
+    elif hash_fn == "md5":
+        bits = """
+              flatten(transform(sequence(0, 15),
+                d -> transform(sequence(0, 3),
+                  s -> if((shiftright(instr('0123456789abcdef', substr(md5(tok), d + 1, 1)) - 1, s) & 1) = 1, 1L, -1L))))"""
+    else:
+        raise ValueError(f"unknown simhash hash_fn: {hash_fn!r}")
     sql = f"""
       aggregate(
         zip_with(
@@ -183,9 +199,7 @@ def simhash64(text_col: str) -> Column:
             array_distinct(split(lower(trim({text_col})), '\\\\s+')),
             array_repeat(0L, 64),
             (acc, tok) -> zip_with(
-              acc,
-              transform(sequence(0, 63),
-                        i -> if((shiftright(xxhash64(tok), cast(i as int)) & 1L) = 1L, 1L, -1L)),
+              acc,{bits},
               (x, y) -> x + y)),
           sequence(0, 63),
           (v, i) -> if(v > 0L, shiftleft(1L, cast(i as int)), 0L)),
@@ -195,11 +209,11 @@ def simhash64(text_col: str) -> Column:
 
 
 def simhash_near_dup_candidates(
-    documents: DataFrame, text_col: str = "text"
+    documents: DataFrame, text_col: str = "text", hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """Pairs sharing ≥1 exact 16-bit block of the simhash (pigeonhole for
     hamming distance ≤ 3); shuffle key is (block_idx, block_value)."""
-    sh = documents.select("doc_id", simhash64(text_col).alias("sh"))
+    sh = documents.select("doc_id", simhash64(text_col, hash_fn).alias("sh"))
     blocks = sh.select(
         "doc_id",
         "sh",

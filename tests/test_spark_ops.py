@@ -162,6 +162,17 @@ def test_simhash_identical_docs_zero_hamming(spark):
         assert (i, i + 1000) in exact
 
 
+def test_simhash_md5_variant_portable_value(spark):
+    """The md5-digit hash variant must produce the pinned cross-engine value
+    (same number verified against DuckDB and a pure-Python reference) —
+    this is what makes simhash_candidates oracle-checkable."""
+    from readability_php_spark.operators.dedup import simhash64
+
+    df = spark.createDataFrame([("hello world foo bar baz",)], ["text"])
+    got = df.select(simhash64("text", hash_fn="md5").alias("sh")).collect()[0].sh
+    assert got == 5094529723778850775
+
+
 def test_cosine_topk_self_similarity_excluded(spark):
     emb = load_table(spark, SF, "embeddings")
     top = cosine_topk(emb, [0], k=5).collect()
