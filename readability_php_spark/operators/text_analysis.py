@@ -95,13 +95,57 @@ def rolling_fingerprints(text: Column, window: int = 64, stride: int = 32) -> Co
 
 
 def analyze(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """documents(doc_id, text, ...) → per-doc analysis frame."""
+    """documents(doc_id, text, ...) → per-doc analysis frame.
+
+    Two-stage projection on purpose: the expensive regex primitives (one
+    regexp_count per language, token split, punct strip) are materialized
+    once in the lower select; the upper select only does arithmetic over
+    those column refs.  Catalyst's CollapseProject keeps non-cheap
+    expressions from being inlined more than once, so each regex scans the
+    text exactly one time — the naive single-select form evaluated every
+    language's stopword regex up to 3× (greatest + when-chain)."""
     t = F.col(text_col)
-    return documents.select(
+    prims = documents.select(
         "doc_id",
-        token_count(t).alias("n_tokens"),
+        token_count(t).alias("_words"),
         bpe_ish_token_count(t).alias("n_bpe_tokens"),
-        quality_score(t).alias("quality"),
-        lang_id(t).alias("lang_pred"),
+        F.length(t).alias("_n"),
+        F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", "")).alias("_punct"),
+        *[
+            stopword_hits(t, lang).alias(f"_hits_{lang}")
+            for lang in LANG_STOPWORDS
+        ],
         fingerprint(t).alias("fp"),
+    )
+
+    n = F.col("_n")
+    words = F.col("_words")
+    stop = F.col("_hits_en")
+    punct = F.col("_punct")
+    len_component = F.least(n / F.lit(2000.0), F.lit(1.0))
+    stop_ratio = F.when(words > 0, stop / words).otherwise(F.lit(0.0))
+    stop_component = F.least(stop_ratio * 8.0, F.lit(1.0))
+    punct_ratio = F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+    punct_component = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.least(punct_ratio * 4.0, F.lit(1.0))
+    )
+    quality = F.round(
+        0.4 * len_component + 0.3 * stop_component + 0.3 * punct_component, 4
+    )
+
+    hits = {lang: F.col(f"_hits_{lang}") for lang in LANG_STOPWORDS}
+    best = F.greatest(*hits.values())
+    lang_pred = F.lit("und")
+    for lang in reversed(list(LANG_STOPWORDS)):
+        lang_pred = F.when(
+            (hits[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(lang_pred)
+
+    return prims.select(
+        "doc_id",
+        words.alias("n_tokens"),
+        "n_bpe_tokens",
+        quality.alias("quality"),
+        lang_pred.alias("lang_pred"),
+        "fp",
     )
