@@ -84,16 +84,30 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """Exact Jaccard for given candidate (doc_a, doc_b) pairs."""
-    sh = documents.select(
-        F.col("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
-    )
-    return (
-        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-        .select(
-            "doc_a", "doc_b", ngram_jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+    """Exact Jaccard for given candidate (doc_a, doc_b) pairs.
+
+    Joins the raw text first and shingles only the joined rows: the
+    candidate pair list is tiny next to the corpus, so shingling the whole
+    documents table on both join sides (what a pre-projected join does —
+    Spark evaluates the projection for every scanned row) would dominate.
+    A doc appearing in many pairs re-shingles per pair; for the intended
+    use (verifying LSH candidates) pair fan-out per doc is small."""
+    txt = documents.select("doc_id", F.col(text_col).alias("_t"))
+    joined = (
+        pairs.join(
+            txt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("_t", "_ta"),
+            "doc_a",
+        ).join(
+            txt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("_t", "_tb"),
+            "doc_b",
         )
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        ngram_jaccard(
+            word_shingles(F.col("_ta"), n), word_shingles(F.col("_tb"), n)
+        ).alias("jaccard"),
     )
 
 
@@ -149,20 +163,32 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) from band-bucket collisions.
-    The self-join shuffles on (band, band_hash) — bucket-local pairs only."""
+
+    Bucket-local pair generation (groupBy band key → sorted id array →
+    in-array pair expansion) instead of a bands self-join: the expensive
+    minhash signature is computed ONCE per document and shuffled once on
+    (band, band_hash).  A self-join would recompute the signature on both
+    sides — Spark's ReusedExchange does not fire across broadcast sides,
+    and at corpus scale the signature dominates.  Skew note: a mega-bucket
+    (thousands of byte-identical docs) lands in one task either way — the
+    pair output is quadratic in bucket size by construction; run exact
+    dedup first."""
     bb = minhash_bands(documents, text_col, num_hashes, bands, shingle_n)
-    a = bb.alias("a")
-    b = bb.alias("b")
+    buckets = bb.groupBy("band", "band_hash").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        buckets.filter(F.size("ids") >= 2)
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -224,20 +250,26 @@ def simhash_near_dup_candidates(
             )
         ).alias("b"),
     ).select("doc_id", "sh", F.col("b.block").alias("block"), F.col("b.val").alias("val"))
-    a, b = blocks.alias("a"), blocks.alias("b")
+    # Bucket-local pair generation: one simhash pass, one shuffle on
+    # (block, val); sort_array on array<struct> orders by doc_id (first
+    # field), so x before y ⇒ doc_a < doc_b.  (Same rationale + skew note
+    # as minhash_lsh_candidates.)
+    buckets = blocks.groupBy("block", "val").agg(
+        F.sort_array(F.collect_set(F.struct("doc_id", "sh"))).alias("ids")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        buckets.filter(F.size("ids") >= 2)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                    "x.sh AS sh_a, y.sh AS sh_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b", "p.sh_a", "p.sh_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
