@@ -67,6 +67,34 @@ def cosine_topk(
     )
 
 
+def nearest_centroids(
+    vec_col: str, centroids: list, probes: int
+) -> Column:
+    """array<struct<d2,cid>> of the ``probes`` nearest of the given
+    (cid, vector) centroids — pure column algebra over a literal centroid
+    array (centroids must be ordered by cid; ties break to the lower cid
+    via struct sort order, matching a row_number over (d2 asc, cid asc))."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in v]) for _, v in centroids]
+    )
+    d2s = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+    ranked = F.array_sort(
+        F.zip_with(
+            d2s,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda d, i: F.struct(d.alias("d2"), i.alias("cid")),
+        )
+    )
+    return F.slice(ranked, 1, probes)
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 16,
@@ -88,28 +116,24 @@ def kmeans_centroids(
         .select(F.col(vec_col).alias("cvec"))
         .withColumn("cid", F.monotonically_increasing_id().cast("int"))
     )
-    # collect is safe: k vectors
-    centroids = [(r.cid, list(r.cvec)) for r in cents.collect()]
+    # collect is safe: k vectors.  cid is normalized to the list index
+    # (collect preserves the orderBy/limit order; nearest_centroids emits
+    # the index as cid, so the two must agree).
+    centroids = [(i, list(r.cvec)) for i, r in enumerate(cents.collect())]
     dim = len(centroids[0][1])
     for _ in range(iters):
-        cent_df = embeddings.sparkSession.createDataFrame(
-            [(c, [float(x) for x in v]) for c, v in centroids],
-            "cid int, cvec array<double>",
-        )
-        assigned = embeddings.crossJoin(F.broadcast(cent_df)).select(
+        # Assignment is a pure map: the k centroids ride along as a literal
+        # array expression (no crossJoin row explosion, no window shuffle —
+        # at 10^9 vectors the old crossJoin+row_number shape shuffled k*N
+        # rows per iteration).  The only shuffle left is the k-way mean,
+        # which map-side combines to k*dim rows per partition.
+        assigned = embeddings.select(
             id_col,
             vec_col,
-            "cid",
-            F.aggregate(
-                F.zip_with(F.col(vec_col), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ).alias("d2"),
+            nearest_centroids(vec_col, centroids, 1)[0].getField("cid").alias("cid"),
         )
-        w = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cid"))
-        best = assigned.withColumn("rk", F.row_number().over(w)).filter("rk = 1")
         means = (
-            best.select("cid", F.posexplode(vec_col).alias("pos", "x"))
+            assigned.select("cid", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.avg("x").alias("m"))
             .groupBy("cid")
@@ -135,32 +159,34 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus vectors to their nearest
-    centroid; queries probe the ``n_probe`` nearest cells only."""
+    centroid; queries probe the ``n_probe`` nearest cells only.
+
+    Cell assignment is a shuffle-free map (literal-centroid argmin via
+    ``nearest_centroids``) — the only shuffle is the cid-keyed
+    corpus×queries join, which is the IVF probe itself."""
     cent = kmeans_centroids(embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
+    centroids = [(r.cid, list(r.cvec)) for r in cent.orderBy("cid").collect()]
 
-    def assign(df: DataFrame, probes: int, id_alias: str) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with(F.col(vec_col), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        w = Window.partitionBy(id_alias).orderBy(F.asc("d2"), F.asc("cid"))
-        return (
-            df.crossJoin(F.broadcast(cent))
-            .withColumn("d2", d2)
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= probes)
+    def assign(df: DataFrame, probes: int) -> DataFrame:
+        return df.select(
+            id_col,
+            vec_col,
+            F.explode(
+                F.transform(
+                    nearest_centroids(vec_col, centroids, probes),
+                    lambda s: s.getField("cid"),
+                )
+            ).alias("cid"),
         )
 
-    corpus = assign(
-        embeddings.select(F.col(id_col), F.col(vec_col)), 1, id_col
-    ).select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec_corp"), "cid")
+    corpus = assign(embeddings.select(F.col(id_col), F.col(vec_col)), 1).select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec_corp"), "cid"
+    )
     queries = assign(
         embeddings.filter(F.col(id_col).isin(query_ids)).select(
             F.col(id_col), F.col(vec_col)
         ),
         n_probe,
-        id_col,
     ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cid")
 
     scored = (
