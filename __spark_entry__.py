@@ -431,10 +431,25 @@ def _shingle_sql(src: str = "text") -> str:
 
 
 def _minhash_sql(num_hashes: int) -> str:
-    """Minhash signature list over the shingles of ``text``."""
+    """Minhash signature list over the shingles of ``text`` — mirrors
+    dedup.minhash_signature: ((12289+24593·h)·h1 + (4099+8209·h)·h2 + h)
+    mod (2^31-1), where h1/h2 are the two leading 32-bit halves of
+    md5(shingle), decoded digit-by-digit (DuckDB has no hex conv)."""
+    h1 = (
+        "list_reduce(list_transform(range(1, 9), "
+        "j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)::BIGINT), "
+        "(a, b) -> a * 16 + b)"
+    )
+    h2 = (
+        "list_reduce(list_transform(range(9, 17), "
+        "j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)::BIGINT), "
+        "(a, b) -> a * 16 + b)"
+    )
     return f"""
       list_transform(range(0, {num_hashes}),
-        h -> coalesce(list_min(list_transform(sh, s -> md5(h || '|' || s))), 'zzzzzzzz'))"""
+        h -> coalesce(list_min(list_transform(sh,
+               s -> ((12289 + 24593*h) * {h1} + (4099 + 8209*h) * {h2} + h) % 2147483647)),
+             2147483647::BIGINT))"""
 
 
 def oracle_sql() -> dict[str, str]:

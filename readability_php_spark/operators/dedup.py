@@ -113,18 +113,46 @@ def ngram_jaccard_pairs(
 
 # --- MinHash + LSH ------------------------------------------------------------
 
+#: Affine minhash family modulus (2^31 - 1, prime); the empty-set sentinel
+#: is the modulus itself — unreachable by any real (… mod p) value.
+MINHASH_MOD = 2147483647
+
+
 def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """Array of ``num_hashes`` minhash values.  Hash family: md5 of
-    ``"{i}|{shingle}"`` (string-min over hex digests) — fully reproducible
-    in any engine with md5; empty shingle set → array of 'z' sentinels."""
+    """Array of ``num_hashes`` minhash values (bigint).
+
+    Hash family: ONE md5 per shingle, split into its two leading 32-bit
+    halves (h1, h2); permutation i is the affine mix
+    ``((12289 + 24593·i)·h1 + (4099 + 8209·i)·h2 + i) mod (2^31-1)``.
+    Fully reproducible in any engine with md5/substr (the DuckDB oracle
+    mirrors it digit-by-digit), and 16× fewer digest computations than the
+    md5-per-(i,shingle) family — the signature pass dominates corpus-scale
+    dedup.  Empty shingle set → array of MINHASH_MOD sentinels."""
     sh = word_shingles(text, shingle_n)
+    # inner transform materializes md5 once per shingle; the halves are
+    # then cheap substring/conv over the materialized hex string
+    halves = F.transform(
+        F.transform(sh, lambda s: F.md5(s)),
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("h2"),
+        ),
+    )
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.coalesce(
             F.array_min(
-                F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))
+                F.transform(
+                    halves,
+                    lambda p: (
+                        (F.lit(12289) + F.lit(24593) * i) * p.getField("h1")
+                        + (F.lit(4099) + F.lit(8209) * i) * p.getField("h2")
+                        + i
+                    )
+                    % F.lit(MINHASH_MOD),
+                )
             ),
-            F.lit("zzzzzzzz"),
+            F.lit(MINHASH_MOD).cast("bigint"),
         ),
     )
 
@@ -145,9 +173,15 @@ def minhash_bands(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
             b.alias("band"),
-            F.md5(F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), "|")).alias(
-                "band_hash"
-            ),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows + 1, rows),
+                        lambda v: v.cast("string"),
+                    ),
+                    "|",
+                )
+            ).alias("band_hash"),
         ),
     )
     return docs.select(
