@@ -297,6 +297,35 @@ def test_warc_ingestion_end_to_end(spark, tmp_path):
     assert by_url["http://fakehost/001/"].title is not None
 
 
+def test_pdf_source_end_to_end(spark, tmp_path):
+    """PDF files -> layout-span DataFrame (writer -> bytes -> Spark source)."""
+    from readability_php_spark.sources.pdf import read_pdf_directory, write_pdf
+
+    pdir = tmp_path / "pdfs"
+    pdir.mkdir()
+    write_pdf(
+        str(pdir / "a.pdf"),
+        [
+            [(72.0, 720.0, "Title of document"), (72.0, 700.0, "Body line (one).")],
+            [(72.0, 720.0, "Page two")],
+        ],
+    )
+    write_pdf(str(pdir / "b.pdf"), [[(100.0, 650.0, "Other doc")]])
+    (pdir / "junk.pdf").write_bytes(b"%PDF-1.4 not really \x00\xff")
+
+    df = read_pdf_directory(spark, str(pdir))
+    rows = df.collect()
+    assert len(rows) == 4  # junk.pdf contributes zero spans, never an error
+    a_rows = sorted(
+        [r for r in rows if r.url.endswith("a.pdf")], key=lambda r: (r.page, -r.y)
+    )
+    assert [(r.page, r.x, r.y, r.text) for r in a_rows] == [
+        (1, 72.0, 720.0, "Title of document"),
+        (1, 72.0, 700.0, "Body line (one)."),
+        (2, 72.0, 720.0, "Page two"),
+    ]
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark):
     from readability_php_spark.operators.similarity import cosine_topk, ivf_topk
 
