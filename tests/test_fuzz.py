@@ -68,3 +68,34 @@ def test_serializer_escaping_roundtrip(text):
 def test_extract_arbitrary_bytes(raw):
     r = extract(raw.decode("utf-8", errors="replace"), Configuration())
     assert r is not None
+
+
+def test_extract_pathological_sizes_complete():
+    """100k-deep nesting and 50k-wide sibling pages must complete (bounded
+    by MAX_OPEN_DEPTH / iterative walks), not hang or blow the stack."""
+    import time as _t
+
+    deep = "<html><body>" + "<div>" * 100_000 + "x" + "</div>" * 100_000 + "</body></html>"
+    t0 = _t.perf_counter()
+    assert extract(deep, Configuration()) is not None
+    assert _t.perf_counter() - t0 < 60
+    wide = (
+        "<html><body>"
+        + "".join(f"<p>paragraph {i} with some words.</p>" for i in range(50_000))
+        + "</body></html>"
+    )
+    t0 = _t.perf_counter()
+    r = extract(wide, Configuration())
+    assert r.error is None and r.extracted_text
+    assert _t.perf_counter() - t0 < 120
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=600))
+def test_pdf_spans_never_raise(raw):
+    from readability_php_spark.sources.pdf import extract_pdf_spans
+
+    # arbitrary bytes, and the same bytes dressed up as a PDF with stream
+    # markers — the parser must yield spans or nothing, never raise
+    list(extract_pdf_spans(raw))
+    list(extract_pdf_spans(b"%PDF-1.4\n1 0 obj\nstream\n" + raw + b"\nendstream\nendobj"))
