@@ -29,7 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICAS = int(os.environ.get("BENCH_REPLICAS", "12"))
+# x60 ≈ 5.3k docs / 1 GB: big enough that the local[32] headline measures
+# the pipeline rather than fixed per-run cost (x12 walls were ~4 s, half of
+# it session/plan/commit overhead)
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "60"))
 CORPUS_PATH = "/tmp/bench_corpus_parquet"
 OUT_PATH = "/tmp/bench_extract_out"
 
