@@ -127,7 +127,8 @@ class Comment(Node):
 
 class Element(Node):
     __slots__ = ("tag", "attrs", "first_child", "last_child",
-                 "content_score", "initialized", "_tc_epoch", "_tc_val")
+                 "content_score", "initialized", "_tc_epoch", "_tc_val",
+                 "_nt_epoch", "_nt_val")
     node_type = ELEMENT_NODE
 
     def __init__(self, tag: str, attrs: Optional[dict] = None) -> None:
@@ -141,6 +142,9 @@ class Element(Node):
         self.initialized: bool = False
         self._tc_epoch: int = -1
         self._tc_val: str = ""
+        # normalized-text cache (filled by kernel.nodeutil.get_text_content)
+        self._nt_epoch: int = -1
+        self._nt_val: str = ""
 
     # --- children ---------------------------------------------------------
     def append_child(self, node: Node) -> Node:
@@ -237,10 +241,30 @@ class Element(Node):
 
     def get_elements_by_tag_name(self, tag: str) -> list["Element"]:
         """Materialized descendant list; '*' matches all elements
-        (PHP DOMDocument::getElementsByTagName semantics)."""
-        if tag == "*":
-            return list(self.iter_desc(None))
-        return list(self.iter_desc(tag))
+        (PHP DOMDocument::getElementsByTagName semantics).  Direct list
+        builder — the generator version spent ~1s/89 docs on frame
+        resumption alone in the kernel's hot scans."""
+        out: list[Element] = []
+        n = self.first_child
+        if n is None:
+            return out
+        match_all = tag == "*"
+        stack: list = []
+        while True:
+            if n.node_type == ELEMENT_NODE:
+                if match_all or n.tag == tag:
+                    out.append(n)  # type: ignore[arg-type]
+                if n.first_child is not None:
+                    if n.next is not None:
+                        stack.append(n.next)
+                    n = n.first_child
+                    continue
+            if n.next is not None:
+                n = n.next
+            elif stack:
+                n = stack.pop()
+            else:
+                return out
 
     # --- attributes (PHP getAttribute returns '' when missing) ------------
     def get_attribute(self, name: str) -> str:

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Callable, Iterator, Optional, Union
 
+from ..dom import node as _node_mod
 from ..dom.node import ELEMENT_NODE, TEXT_NODE, Element, Node, Text
 from .regexes import REGEXPS
 
@@ -88,16 +89,28 @@ def get_class_weight(node: Element) -> int:
 
 def get_text_content(node: Node, normalize: bool = False) -> str:
     # NodeTrait.php:305-313
+    if not normalize:
+        return node.text_content
+    # normalized+trimmed result is a pure function of the subtree; cache it
+    # per mutation epoch on elements (scoring/cleanup call this repeatedly
+    # on unchanged nodes — the normalize regex was ~10% of kernel time)
+    cacheable = node.node_type == ELEMENT_NODE
+    if cacheable:
+        ep = _node_mod._mutation_epoch
+        if node._nt_epoch == ep:  # type: ignore[union-attr]
+            return node._nt_val  # type: ignore[union-attr]
     value = node.text_content
-    if normalize:
-        # precheck: runs of >=2 ws require a double space or a \t\n\r\f\v
-        # anywhere — skips the regex on the (common) single-spaced text
-        if (
-            "  " in value or "\t" in value or "\n" in value
-            or "\r" in value or "\f" in value or "\v" in value
-        ):
-            value = REGEXPS["normalize"].sub(" ", value)
-        return php_trim(value)
+    # precheck: runs of >=2 ws require a double space or a \t\n\r\f\v
+    # anywhere — skips the regex on the (common) single-spaced text
+    if (
+        "  " in value or "\t" in value or "\n" in value
+        or "\r" in value or "\f" in value or "\v" in value
+    ):
+        value = REGEXPS["normalize"].sub(" ", value)
+    value = php_trim(value)
+    if cacheable:
+        node._nt_epoch = ep  # type: ignore[union-attr]
+        node._nt_val = value  # type: ignore[union-attr]
     return value
 
 
@@ -107,7 +120,7 @@ def get_link_density(node: Element) -> float:
     if not text_length:
         return 0.0
     link_length = 0
-    for link in node.iter_desc("a"):
+    for link in node.get_elements_by_tag_name("a"):
         link_length += len(get_text_content(link, True))
     return link_length / text_length
 
