@@ -100,17 +100,23 @@ def run_extraction(spark, cores: int) -> tuple[float, int]:
 
 
 def run_queries(spark) -> dict[str, float]:
+    """Per-query seconds, best of 2 passes: hypervisor steal on this VM
+    spikes on a seconds scale, and a single-shot measurement occasionally
+    charges one query 10× its real cost."""
     import __spark_entry__ as entrymod
 
-    times: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    def one(fn) -> float:
         t0 = time.time()
         try:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         except Exception:
             # noop sink unavailable for this plan → force via count
             fn(spark, SF_DIR).count()
-        times[name] = round(time.time() - t0, 3)
+        return time.time() - t0
+
+    times: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        times[name] = round(min(one(fn), one(fn)), 3)
     return times
 
 
