@@ -41,6 +41,7 @@ from readability_php_spark.operators.similarity import (  # noqa: E402
 )
 from readability_php_spark.operators.dedup import exact_dedup  # noqa: E402
 from readability_php_spark.operators.text_analysis import analyze  # noqa: E402
+from readability_php_spark.operators.urls import url_dedup  # noqa: E402
 from readability_php_spark.plans.pipeline import tune_session_for_extraction  # noqa: E402
 from readability_php_spark.sources.pages import (  # noqa: E402
     documents_corpus_df,
@@ -146,6 +147,34 @@ def q_top_docs_by_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return analyze(docs).orderBy("doc_id")
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup over synthetic crawl-variant URLs: each doc yields
+    its canonical URL plus a tracking-params+fragment variant, an
+    uppercase-host:80 variant, and a trailing-slash variant — all four must
+    canonicalize to one key (operators/urls.py)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    base = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://synth.test/doc/"), F.col("doc_id"), F.lit(".html")).alias("url"),
+    )
+    v1 = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("url"), F.lit("?utm_source=feed&utm_medium=x#top")).alias("url"),
+    )
+    v2 = base.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("HTTP://SYNTH.TEST:80/doc/"), F.col("doc_id"), F.lit(".html")
+        ).alias("url"),
+    )
+    v3 = base.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.col("url"), F.lit("/")).alias("url"),
+    )
+    pages = base.unionByName(v1).unionByName(v2).unionByName(v3)
+    return url_dedup(pages).orderBy("keeper_id")
 
 
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_per_lang": q_docs_per_lang,
         "top_docs_by_chars": q_top_docs_by_chars,
         "text_analysis": q_text_analysis,
+        "url_dedup": q_url_dedup,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_bands": q_minhash_bands,
         "minhash_lsh_dups": q_minhash_lsh_dups,
@@ -522,6 +552,54 @@ def oracle_sql() -> dict[str, str]:
                    {lang_pred} AS lang_pred,
                    fp
             FROM base ORDER BY doc_id
+        """,
+        # URL canonicalization mirrors operators/urls.py step-for-step;
+        # DuckDB regexp_replace needs the 'g' flag where Spark is global by
+        # default, and \\1-style backrefs where Spark uses $1.
+        "url_dedup": """
+            WITH base AS (
+                SELECT doc_id, 'http://synth.test/doc/' || doc_id || '.html' AS url
+                FROM documents WHERE doc_id < 200
+            ),
+            variants AS (
+                SELECT doc_id, url FROM base
+                UNION ALL
+                SELECT doc_id + 1000000, url || '?utm_source=feed&utm_medium=x#top' FROM base
+                UNION ALL
+                SELECT doc_id + 2000000, 'HTTP://SYNTH.TEST:80/doc/' || doc_id || '.html' FROM base
+                UNION ALL
+                SELECT doc_id + 3000000, url || '/' FROM base
+            ),
+            canon AS (
+                SELECT doc_id,
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(
+                              regexp_replace(
+                                regexp_replace(
+                                  CASE WHEN regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) = ''
+                                       THEN url
+                                       ELSE lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                                            || regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1)
+                                  END,
+                                  '#.*$', ''),
+                                '(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                              '\\?&+', '?', 'g'),
+                            '&&+', '&', 'g'),
+                          '[?&]+$', ''),
+                        '^(http://[^/:?#]*):80(/|\\?|$)', '\\1\\2'),
+                      '^(https://[^/:?#]*):443(/|\\?|$)', '\\1\\2'),
+                    '^([a-z][a-z0-9+.-]*://[^/]+/.+?)/$', '\\1') AS canonical_url
+                FROM variants
+            )
+            SELECT canonical_url, min(doc_id) AS keeper_id, count(*) AS n_variants
+            FROM canon
+            GROUP BY canonical_url
+            HAVING count(*) >= 2
+            ORDER BY keeper_id
         """,
         "exact_dup_groups": f"""
             WITH both_docs AS (

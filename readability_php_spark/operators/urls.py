@@ -1,0 +1,65 @@
+"""URL canonicalization + URL-level dedup — Common-Crawl preprocessing ops.
+
+A crawl corpus carries the same page under fragment/tracking-param/port
+variants; URL-level dedup is the cheapest dedup stage and runs before any
+content hashing.  All pure ``pyspark.sql.functions`` column algebra (JVM
+codegen, no UDF), with exact ANSI-SQL twins in the DuckDB oracle — the
+regexes avoid lookarounds so RE2 (DuckDB) and Java regex agree.
+
+Canonicalization steps (each a visible, separately-testable rewrite):
+1. lowercase scheme + host (path stays case-sensitive);
+2. strip the fragment (``#…``);
+3. strip tracking params (``utm_*``, ``fbclid``, ``gclid``) wherever they
+   sit in the query string, then tidy leftover ``?``/``&`` artifacts;
+4. drop default ports (``:80`` for http, ``:443`` for https);
+5. drop one trailing ``/`` from a non-root path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tracking params stripped during canonicalization
+_TRACKING = r"(utm_[a-z]+|fbclid|gclid)=[^&#]*"
+
+
+def canonical_url(url: Column) -> Column:
+    # 1. lowercase scheme://host[:port] (group 1), keep the rest (group 2)
+    c = F.concat(
+        F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1),
+    )
+    # fall back to the raw value for non-absolute urls
+    c = F.when(c == "", url).otherwise(c)
+    # 2. fragment off
+    c = F.regexp_replace(c, r"#.*$", "")
+    # 3. tracking params out, then tidy "?&", "&&", trailing "?"/"&"
+    c = F.regexp_replace(c, _TRACKING, "")
+    c = F.regexp_replace(c, r"\?&+", "?")
+    c = F.regexp_replace(c, r"&&+", "&")
+    c = F.regexp_replace(c, r"[?&]+$", "")
+    # 4. default ports
+    c = F.regexp_replace(c, r"^(http://[^/:?#]*):80(/|\?|$)", r"$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/:?#]*):443(/|\?|$)", r"$1$2")
+    # 5. one trailing slash off a non-root path
+    c = F.regexp_replace(c, r"^([a-z][a-z0-9+.-]*://[^/]+/.+?)/$", r"$1")
+    return c
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """(canonical_url, keeper id, group size) for groups of ≥2 URL variants.
+    Keeper = lowest id (deterministic); one shuffle on the canonical key.
+    At corpus scale this is the map-side-combined groupBy that precedes
+    content-hash dedup."""
+    canon = pages.select(
+        F.col(id_col), canonical_url(F.col(url_col)).alias("canonical_url")
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_variants"),
+        )
+        .filter(F.col("n_variants") >= 2)
+    )

@@ -297,6 +297,22 @@ def test_warc_ingestion_end_to_end(spark, tmp_path):
     assert by_url["http://fakehost/001/"].title is not None
 
 
+def test_canonical_url_cases(spark):
+    from readability_php_spark.operators.urls import canonical_url
+
+    cases = [
+        ("HTTP://Example.COM:80/A/b.html#frag", "http://example.com/A/b.html"),
+        ("https://ex.com:443/x?utm_source=a&id=3&utm_medium=b", "https://ex.com/x?id=3"),
+        ("http://ex.com/path/", "http://ex.com/path"),
+        ("http://ex.com/", "http://ex.com/"),  # root slash kept
+        ("http://ex.com/x?fbclid=abc", "http://ex.com/x"),
+        ("not-a-url", "not-a-url"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["url"])
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [c[1] for c in cases]
+
+
 def test_pdf_source_end_to_end(spark, tmp_path):
     """PDF files -> layout-span DataFrame (writer -> bytes -> Spark source)."""
     from readability_php_spark.sources.pdf import read_pdf_directory, write_pdf
