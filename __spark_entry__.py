@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from readability_php_spark.config import Configuration  # noqa: E402
 from readability_php_spark.operators.dedup import (  # noqa: E402
+    connected_components,
     exact_duplicates,
     minhash_bands,
     minhash_lsh_candidates,
@@ -147,6 +148,23 @@ def q_top_docs_by_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return analyze(docs).orderBy("doc_id")
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over synthetic candidate pairs: a 30-node chain
+    (0-1, 1-2, … 28-29 — transitive closure without direct pairs) plus
+    fifty 2-node pairs (i, i+1_000_000). Every chain node must land in
+    cluster 0; every pair in cluster i."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    chain = (
+        docs.filter(F.col("doc_id") < 29)
+        .select(F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b"))
+    )
+    pairs = (
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+        .select(F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1_000_000).alias("doc_b"))
+    )
+    return connected_components(chain.unionByName(pairs)).orderBy("doc_id")
 
 
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_per_lang": q_docs_per_lang,
         "top_docs_by_chars": q_top_docs_by_chars,
         "text_analysis": q_text_analysis,
+        "dedup_clusters": q_dedup_clusters,
         "url_dedup": q_url_dedup,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_bands": q_minhash_bands,
@@ -552,6 +571,30 @@ def oracle_sql() -> dict[str, str]:
                    {lang_pred} AS lang_pred,
                    fp
             FROM base ORDER BY doc_id
+        """,
+        # Connected components via recursive CTE: reach(node, label) holds
+        # every label reachable from node through symmetrized edges; UNION
+        # dedup terminates the recursion; min(label) = cluster id.
+        "dedup_clusters": """
+            WITH RECURSIVE
+            chain AS (
+                SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id < 29
+            ),
+            pairs AS (
+                SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+                WHERE doc_id >= 100 AND doc_id < 150
+            ),
+            edges AS (
+                SELECT a, b FROM chain UNION ALL SELECT b, a FROM chain
+                UNION ALL SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+            ),
+            reach(node, label) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+            )
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY node ORDER BY doc_id
         """,
         # URL canonicalization mirrors operators/urls.py step-for-step;
         # DuckDB regexp_replace needs the 'g' flag where Spark is global by

@@ -113,6 +113,68 @@ def ngram_jaccard_pairs(
 
 # --- MinHash + LSH ------------------------------------------------------------
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id) from candidate near-dup pairs: cluster_id is the
+    minimum doc_id reachable through the pair graph — the keeper under
+    keep-lowest-id dedup.  Turning pairwise matches into clusters is the
+    step after LSH/simhash candidate generation in every dedup pipeline
+    (A ~ B ~ C must collapse to ONE representative even when (A, C) never
+    collided).
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbors (edges symmetrized), until a round
+    changes nothing — converges in graph-diameter rounds.  Near-dup
+    components are small and dense (diameter is tiny), so this beats the
+    large-star/small-star dance in practice; the loop is bounded by
+    ``max_iterations`` as a safety net and raises rather than returning a
+    half-converged clustering.  Each round is one shuffle on doc_id."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # one action per round: count changed labels (converged → 0)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        # localCheckpoint truncates the growing lineage so round N's plan
+        # doesn't re-execute rounds 1..N-1
+        labels = new_labels.localCheckpoint()
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
 #: Affine minhash family modulus (2^31 - 1, prime); the empty-set sentinel
 #: is the modulus itself — unreachable by any real (… mod p) value.
 MINHASH_MOD = 2147483647

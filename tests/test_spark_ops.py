@@ -297,6 +297,20 @@ def test_warc_ingestion_end_to_end(spark, tmp_path):
     assert by_url["http://fakehost/001/"].title is not None
 
 
+def test_connected_components_transitive(spark):
+    from readability_php_spark.operators.dedup import connected_components
+
+    # triangle {1,2,3} via chain edges, a 2-node pair {10,11}, and a
+    # 5-node chain {20..24}: cluster = min reachable id everywhere
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        ["doc_a", "doc_b"],
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+
+
 def test_canonical_url_cases(spark):
     from readability_php_spark.operators.urls import canonical_url
 
