@@ -126,13 +126,15 @@ def connected_components(
     (A ~ B ~ C must collapse to ONE representative even when (A, C) never
     collided).
 
-    Iterative min-label propagation: each round every node takes the min
-    label among itself and its neighbors (edges symmetrized), until a round
-    changes nothing — converges in graph-diameter rounds.  Near-dup
-    components are small and dense (diameter is tiny), so this beats the
-    large-star/small-star dance in practice; the loop is bounded by
-    ``max_iterations`` as a safety net and raises rather than returning a
-    half-converged clustering.  Each round is one shuffle on doc_id."""
+    Iterative min-label propagation with pointer jumping: each round every
+    node takes the min of (its label, its neighbors' labels, its label's
+    OWN label).  The last term is path compression — labels chase their
+    representative transitively, so convergence is O(log diameter) rounds
+    instead of O(diameter); both terms only ever move a label to a smaller
+    id inside the same component, so the fixpoint is the component minimum.
+    The loop is bounded by ``max_iterations`` as a safety net and raises
+    rather than returning a half-converged clustering.  Each round is two
+    doc_id-keyed shuffles (neighbor min + label lookup)."""
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -149,12 +151,20 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        label_of_label = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.cluster_id") == F.col("l2.doc_id"))
+            .select(F.col("l1.doc_id").alias("jid"), F.col("l2.cluster_id").alias("jump"))
+        )
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.a, "left")
+            .join(label_of_label, labels.doc_id == label_of_label.jid, "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                    F.coalesce(F.col("jump"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
         )
