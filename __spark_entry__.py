@@ -263,8 +263,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (deterministic k-means coarse quantizer, 2-cell probe) —
-    approximate by design; rows-only check, recall asserted in unit tests."""
+    """IVF ANN (deterministic k-means coarse quantizer, 2-cell probe).
+    Approximate vs brute force by design, but the *algorithm* is exactly
+    reproducible (deterministic init + rounded means), so the oracle is a
+    full value check via unrolled-Lloyd SQL (see ``_ivf_sql``)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, query_ids=[0, 1, 2], k=10, n_centroids=8, n_probe=2).orderBy(
         "query_id", "rank"
@@ -415,10 +417,17 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → Arrow-batched feature extract
-    (deterministic fake decode; rows-only check)."""
+    (deterministic fake decode).  The ``features: array<float>`` column is
+    projected out here — the driver canonicalizer can't hash ndarrays — and
+    everything that remains (md5 fingerprint, byte length, fake decode
+    arithmetic) is DuckDB-reproducible, so this has a full value oracle."""
     docs = load_table(spark, sf_dir, "documents")
     media = synthetic_media_df(spark, docs)
-    return extract_media_features(media).orderBy("media_id")
+    return (
+        extract_media_features(media)
+        .select("media_id", "kind", "n_bytes", "fingerprint", "width", "height", "error")
+        .orderBy("media_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -469,14 +478,99 @@ _WORDS = "string_split_regex(lower(trim(text)), '\\s+')"
 
 
 def _shingle_sql(src: str = "text") -> str:
-    """Distinct word-3-gram list of ``src`` (mirrors dedup.word_shingles)."""
+    """Distinct word-3-gram list of ``src`` (mirrors dedup.word_shingles,
+    including the <3-words → empty-list guard: Spark's num>0 gate means a
+    2-word text has NO shingles, not one truncated shingle)."""
+    words = f"string_split_regex(lower(trim({src})), '\\s+')"
     return f"""
-      list_distinct(
+      CASE WHEN len({words}) < 3 THEN []::VARCHAR[]
+      ELSE list_distinct(
         list_transform(
-          range(1, greatest(len(string_split_regex(lower(trim({src})), '\\s+')) - 2, 1) + 1),
-          i -> array_to_string(list_slice(string_split_regex(lower(trim({src})), '\\s+'), i, i + 2), ' ')
+          range(1, len({words}) - 2 + 1),
+          i -> array_to_string(list_slice({words}, i, i + 2), ' ')
         )
-      )"""
+      ) END"""
+
+
+def _ivf_sql(
+    k_cent: int = 8,
+    iters: int = 3,
+    n_probe: int = 2,
+    topk: int = 10,
+    query_ids: tuple = (0, 1, 2),
+) -> str:
+    """DuckDB twin of operators/similarity.py::ivf_topk — Lloyd's k-means
+    unrolled to ``iters`` fixed iterations (the Spark side is deterministic:
+    init = k lowest-id vectors, per-iteration means rounded to 6 decimals,
+    argmin ties to the lower cid), then the 1-cell corpus assignment ×
+    ``n_probe``-cell query probe join, exactly mirroring the Spark plan."""
+    d2 = (
+        "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> (e.embedding[i]::DOUBLE - c.cvec[i]) "
+        "* (e.embedding[i]::DOUBLE - c.cvec[i])))"
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    ctes = [f"""
+            c0 AS (
+              SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
+                     list_transform(embedding, x -> x::DOUBLE) AS cvec
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT {k_cent}))"""]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        ctes.append(f"""
+            a{it} AS (
+              SELECT vec_id, embedding, cid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {d2}, c.cid) AS rn
+                FROM embeddings e CROSS JOIN {prev} c)
+              WHERE rn = 1),
+            m{it} AS (
+              SELECT cid, list(m ORDER BY d) AS cvec FROM (
+                SELECT cid, d, round(avg(v), 6) AS m FROM (
+                  SELECT cid,
+                         unnest(range(1, len(embedding) + 1)) AS d,
+                         unnest(list_transform(embedding, x -> x::DOUBLE)) AS v
+                  FROM a{it})
+                GROUP BY cid, d)
+              GROUP BY cid),
+            c{it} AS (
+              SELECT p.cid, coalesce(m.cvec, p.cvec) AS cvec
+              FROM {prev} p LEFT JOIN m{it} m USING (cid))""")
+    final = f"c{iters}"
+    ctes.append(f"""
+            corpus AS (
+              SELECT vec_id, embedding, cid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {d2}, c.cid) AS rn
+                FROM embeddings e CROSS JOIN {final} c)
+              WHERE rn = 1),
+            qprobe AS (
+              SELECT vec_id AS query_id, embedding AS qvec, cid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {d2}, c.cid) AS rn
+                FROM embeddings e CROSS JOIN {final} c
+                WHERE e.vec_id IN ({ids}))
+              WHERE rn <= {n_probe}),
+            scored AS (
+              SELECT DISTINCT q.query_id, co.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(
+                       q.qvec::DOUBLE[], co.embedding::DOUBLE[]), 4) AS cos_sim
+              FROM corpus co JOIN qprobe q
+                ON co.cid = q.cid AND co.vec_id <> q.query_id),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM scored)""")
+    return (
+        "WITH" + ",".join(ctes)
+        + f"""
+            SELECT query_id, neighbor_id, cos_sim, rank::INT AS rank
+            FROM ranked WHERE rank <= {topk} ORDER BY query_id, rank"""
+    )
 
 
 def _minhash_sql(num_hashes: int) -> str:
@@ -873,10 +967,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(sh_a, sh_b)) <= 3
             ORDER BY doc_a, doc_b
         """,
-        # media_features: sha1-fingerprint over binary + stubbed decode —
-        # rows-only check (intentionally omitted); ivf_topk: iterative
-        # k-means assignment — not SQL-expressible, recall-tested vs the
-        # oracle-checked brute-force cosine_topk instead.
+        # ivf_topk: the Spark k-means is fully deterministic (lowest-id
+        # init, 6-decimal-rounded means, lower-cid tie-break), so the oracle
+        # replays the identical Lloyd trajectory as unrolled SQL.
+        "ivf_topk": _ivf_sql(k_cent=8, iters=3, n_probe=2, topk=10,
+                             query_ids=(0, 1, 2)),
+        # media_features: payload = UTF-8 bytes of text (synthetic_media_df),
+        # fake decode arithmetic per operators/multimodal.py:73-76 —
+        # everything is pure SQL over length/md5 of the text bytes.
+        "media_features": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'image'
+                          WHEN doc_id % 3 = 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+                     octet_length(encode(text))::BIGINT AS n_bytes,
+                     md5(text) AS fingerprint
+              FROM documents)
+            SELECT media_id, kind, n_bytes, fingerprint,
+                   CASE WHEN kind = 'image'
+                        THEN ((n_bytes % 640) + 16)::INTEGER END AS width,
+                   CASE WHEN kind = 'image'
+                        THEN ((n_bytes % 480) + 16)::INTEGER END AS height,
+                   NULL::VARCHAR AS error
+            FROM m ORDER BY media_id
+        """,
     }
 
 

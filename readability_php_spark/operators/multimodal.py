@@ -41,7 +41,7 @@ FEATURE_SCHEMA = StructType([
     StructField("media_id", LongType(), True),
     StructField("kind", StringType(), True),
     StructField("n_bytes", LongType(), True),
-    StructField("sha1", StringType(), True),
+    StructField("fingerprint", StringType(), True),  # md5 — DuckDB-reproducible
     StructField("features", ArrayType(FloatType()), True),
     StructField("width", IntegerType(), True),
     StructField("height", IntegerType(), True),
@@ -161,7 +161,7 @@ def extract_media_features(media: DataFrame, *, fake_decode: bool = True) -> Dat
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 out["n_bytes"].append(len(raw))
-                out["sha1"].append(hashlib.sha1(raw).hexdigest())
+                out["fingerprint"].append(hashlib.md5(raw).hexdigest())
                 out["features"].append(_byte_histogram_features(raw))
                 out["width"].append(width)
                 out["height"].append(height)

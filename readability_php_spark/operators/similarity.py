@@ -109,7 +109,14 @@ def kmeans_centroids(
     transform — JVM column algebra), recompute means with one groupBy.
     At 10^12 vectors this is the standard IVF training shape: centroids are
     tiny (broadcast), assignment is a map-side pass, the only shuffle is the
-    k-way average."""
+    k-way average.
+
+    Means are rounded to 6 decimals per iteration: float64 sums over an
+    unordered partition set are only reproducible to ~1e-13, and the coarse
+    quantizer doesn't care about the 7th decimal — rounding makes the
+    trained centroids (and hence every downstream cell assignment)
+    cross-engine and cross-run deterministic, which is what lets the DuckDB
+    oracle replay the exact same Lloyd trajectory."""
     cents = (
         embeddings.orderBy(id_col)
         .limit(k)
@@ -135,7 +142,7 @@ def kmeans_centroids(
         means = (
             assigned.select("cid", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.round(F.avg("x"), 6).alias("m"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cid", F.transform("pm", lambda s: s.getField("m")).alias("cvec"))

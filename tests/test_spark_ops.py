@@ -200,7 +200,7 @@ def test_media_features_deterministic(spark):
             assert r.width is not None  # fake decode path
     # determinism
     feats2 = extract_media_features(media).collect()
-    assert {r.media_id: r.sha1 for r in feats} == {r.media_id: r.sha1 for r in feats2}
+    assert {r.media_id: r.fingerprint for r in feats} == {r.media_id: r.fingerprint for r in feats2}
 
 
 def test_streaming_extract_available_now(spark, tmp_path):
