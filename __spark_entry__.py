@@ -340,6 +340,19 @@ def q_median_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessions_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the streaming
+    applyInPandasWithState operator in streaming/sessions.py — same
+    strict->gap, microsecond-precision split), oracle-checked via DuckDB
+    gaps-and-islands SQL."""
+    from readability_php_spark.streaming.sessions import sessionize_batch
+
+    events = load_table(spark, sf_dir, "events")
+    return sessionize_batch(events, gap_seconds=1800).orderBy(
+        "user_id", "session_no"
+    )
+
+
 def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (an operator Spark lacks natively, composed from a union +
     window — SURVEY §2.9 'custom operator as composition'): for each
@@ -465,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "rollup_stats": q_rollup_stats,
         "median_chars_by_lang": q_median_chars_by_lang,
+        "sessions_by_user": q_sessions_by_user,
         "asof_join_events": q_asof_join_events,
         "revenue_by_nation": q_revenue_by_nation,
         "pricing_summary": q_pricing_summary,
@@ -886,6 +900,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    round(quantile_cont(n_chars, 0.5), 4) AS median_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # gaps-and-islands: session boundary where the per-user gap exceeds
+        # 1800s (strict >, microsecond precision — mirrors streaming/
+        # sessions.py).  Cumulative sum uses the default RANGE frame so
+        # tied timestamps share a session number, same as Spark.
+        "sessions_by_user": """
+            WITH lagged AS (
+              SELECT user_id, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+              FROM events),
+            flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN prev_ts IS NULL
+                          OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM lagged),
+            numbered AS (
+              SELECT user_id, ts, value,
+                     sum(new_session) OVER
+                       (PARTITION BY user_id ORDER BY ts) AS session_no
+              FROM flagged)
+            SELECT user_id, session_no::INT AS session_no,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*)::BIGINT AS events,
+                   round(sum(value), 4) AS value_sum
+            FROM numbered GROUP BY user_id, session_no
+            ORDER BY user_id, session_no
         """,
         "asof_join_events": """
             WITH purchases AS (

@@ -282,26 +282,54 @@ class Element(Node):
     # --- text -------------------------------------------------------------
     @property
     def text_content(self) -> str:
-        # Iterative stack walk: recursion-free (pathological HTML nests deep)
-        # and single-join.  Cached per mutation epoch: scoring/cleanup call
-        # this repeatedly on unchanged subtrees (hot path).
+        # Iterative stack walk: recursion-free (pathological HTML nests
+        # deep).  Cached per mutation epoch, and the walk both REUSES
+        # descendant caches that are current (skipping their subtrees) and
+        # POPULATES the cache of every element it completes — so within one
+        # epoch the scoring pass's many overlapping queries (each <p>, then
+        # its ancestors, then link densities) share all subtree work.
+        # Pure memoization: traversal order and concatenation are identical
+        # to the uncached walk, so output bytes are unchanged.
         if self._tc_epoch == _mutation_epoch:
             return self._tc_val
         parts: list[str] = []
-        stack: list[Node] = []
+        # open elements whose subtree is being accumulated: (elem, start)
+        fin: list[tuple[Element, int]] = []
         n = self.first_child
-        while n is not None or stack:
-            if n is None:
-                n = stack.pop()
-                continue
-            if n.node_type == TEXT_NODE:
-                parts.append(n.data)  # type: ignore[union-attr]
-            elif n.node_type == ELEMENT_NODE and n.first_child is not None:  # type: ignore[union-attr]
-                if n.next is not None:
-                    stack.append(n.next)
-                n = n.first_child  # type: ignore[union-attr]
-                continue
-            n = n.next
+        while True:
+            while n is not None:
+                t = n.node_type
+                if t == TEXT_NODE:
+                    parts.append(n.data)  # type: ignore[union-attr]
+                    n = n.next
+                elif t == ELEMENT_NODE:
+                    if n._tc_epoch == _mutation_epoch:  # type: ignore[union-attr]
+                        parts.append(n._tc_val)  # type: ignore[union-attr]
+                        n = n.next
+                    elif n.first_child is not None:
+                        fin.append((n, len(parts)))  # type: ignore[arg-type]
+                        n = n.first_child
+                    else:
+                        n._tc_epoch = _mutation_epoch  # type: ignore[union-attr]
+                        n._tc_val = ""  # type: ignore[union-attr]
+                        n = n.next
+                else:
+                    n = n.next
+            if not fin:
+                break
+            e, start = fin.pop()
+            k = len(parts) - start
+            if k == 0:
+                val = ""
+            elif k == 1:
+                val = parts[start]
+            else:
+                val = "".join(parts[start:])
+                del parts[start:]
+                parts.append(val)
+            e._tc_epoch = _mutation_epoch
+            e._tc_val = val
+            n = e.next
         val = "".join(parts)
         self._tc_epoch = _mutation_epoch
         self._tc_val = val

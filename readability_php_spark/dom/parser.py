@@ -37,11 +37,15 @@ from .node import Comment, Document, Element, Text
 _FAST_TAGNAME = re.compile(r"[a-zA-Z][a-zA-Z0-9:._-]*")
 # attr-less tags (the majority on real pages): one regex, no attr loop
 _FAST_BARE = re.compile(r"([a-zA-Z][a-zA-Z0-9:._-]*)\s*(/?)>")
-_FAST_ATTR = re.compile(
-    r"""\s*([^\s/=<>'"][^\s/=<>]*)"""                 # attr name
-    r"""(?:\s*=\s*("[^"]*"|'[^']*'|[^\s<>"'`=]+))?"""  # optional value
+# one regex call per attr-loop step: leading ws + (terminator | attr[=value]).
+# Same name/value charclasses as the stdlib-tolerant subset used previously,
+# so accepted/rejected inputs — and therefore stdlib-fallback behavior — are
+# identical to the two-step (ws-skip + attr-match) version.
+_FAST_ATTR_OR_END = re.compile(
+    r"""\s*(?:(/?>)"""
+    r"""|([^\s/=<>'"][^\s/=<>]*)"""
+    r"""(?:\s*=\s*("[^"]*"|'[^']*'|[^\s<>"'`=]+))?)"""
 )
-_FAST_WS = re.compile(r"\s*")
 _FAST_ENDTAG = re.compile(r"</([a-zA-Z][a-zA-Z0-9:._-]*)\s*>")
 
 # Open-element stack depth cap: beyond this, new elements are inserted as
@@ -166,27 +170,19 @@ class TreeBuilder(HTMLParser):
         tag = m.group(0)
         j = m.end()
         attrs = []
-        n = len(rawdata)
         while True:
-            j = _FAST_WS.match(rawdata, j).end()
-            if j >= n:
-                return super().parse_starttag(i)  # truncated buffer
-            c = rawdata[j]
-            if c == ">":
-                j += 1
-                startend = False
+            am = _FAST_ATTR_OR_END.match(rawdata, j)
+            if am is None:
+                # junk (`/x`, quote-first, `<`) or truncated buffer —
+                # stdlib tolerant parser decides, exactly as before
+                return super().parse_starttag(i)
+            end_tok = am.group(1)
+            if end_tok is not None:
+                j = am.end()
+                startend = end_tok == "/>"
                 break
-            if c == "/":
-                if rawdata[j + 1 : j + 2] == ">":
-                    j += 2
-                    startend = True
-                    break
-                return super().parse_starttag(i)
-            am = _FAST_ATTR.match(rawdata, j)
-            if am is None or am.end() == j:
-                return super().parse_starttag(i)
-            name = am.group(1)
-            value = am.group(2)
+            name = am.group(2)
+            value = am.group(3)
             if value is not None:
                 if value[0] in "\"'":
                     value = value[1:-1]

@@ -191,7 +191,7 @@ def _clean_extra_paragraphs(article: Document) -> None:
         c = count_desc(paragraph, ("img", "embed", "object", "iframe"))
         if (
             c["img"] + c["embed"] + c["object"] + c["iframe"] == 0
-            and not REGEXPS["onlyWhitespace"].sub("", paragraph.text_content)
+            and REGEXPS["nonWhitespace"].search(paragraph.text_content) is None
         ):
             remove_node(paragraph)
 

@@ -199,7 +199,9 @@ def is_element_without_content(node: Node) -> bool:
     # NodeTrait.php:469-488
     if node.node_type != ELEMENT_NODE:
         return False
-    if len(REGEXPS["onlyWhitespace"].sub("", node.text_content)) != 0:
+    # "any non-whitespace?" — \S excludes \xa0 too, so this equals
+    # len(onlyWhitespace.sub("")) != 0 without building the stripped copy
+    if REGEXPS["nonWhitespace"].search(node.text_content) is not None:
         return False
     children = node.child_nodes
     if len(children) == 0:

@@ -52,6 +52,12 @@ class ParseResult:
     error: Optional[str] = None
     attempts: int = 0
 
+    def __str__(self) -> str:
+        """S6 composite render — ``__toString()`` at
+        src/Readability.php:1680-1683: ``<h1>{title}</h1>{content}``.
+        PHP's sprintf renders null as the empty string; mirror that."""
+        return f"<h1>{self.title or ''}</h1>{self.content_html or ''}"
+
 
 def _text_metric_length(text: str) -> int:
     """R2 — codepoints excluding all whitespace + nbsp (src/Readability.php:172)."""

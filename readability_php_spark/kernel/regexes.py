@@ -54,6 +54,9 @@ REGEXPS = {
     ),
     # \xa0 is the unicode version of &nbsp; (reference comment, NodeUtility.php:34)
     "onlyWhitespace": re.compile(r"\xa0|\s+"),
+    # complement of onlyWhitespace (\S already excludes \xa0): presence
+    # check without materializing a stripped string
+    "nonWhitespace": re.compile(r"\S"),
 }
 
 # Pre-parse <script> stripper ("summonCthulhu", src/Readability.php:274-277).

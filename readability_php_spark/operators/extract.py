@@ -140,3 +140,21 @@ def extract_operator(
     return pages.select(*cols).mapInPandas(
         make_extract_batches(config, carry=carry), schema=schema
     )
+
+
+def composite_render(extracted: DataFrame, col_name: str = "rendered"):
+    """S6 — the reference's ``__toString()`` composite render
+    (src/Readability.php:1680-1683): ``<h1>{title}</h1>{content}``.
+    Pure column algebra (JVM concat, whole-stage codegen); PHP sprintf
+    renders null as '' — coalesce mirrors that."""
+    from pyspark.sql import functions as F
+
+    return extracted.withColumn(
+        col_name,
+        F.concat(
+            F.lit("<h1>"),
+            F.coalesce(F.col("title"), F.lit("")),
+            F.lit("</h1>"),
+            F.coalesce(F.col("content_html"), F.lit("")),
+        ),
+    )

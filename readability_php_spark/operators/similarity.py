@@ -220,28 +220,55 @@ def embedding_near_dups(
     bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
 
     Scale shape: the self-join is restricted to sign-bit buckets (high-cosine
     pairs almost always share leading sign bits; recall/cost tunes via
     ``bits``), so the shuffle key is the bucket — never an all-pairs cross
-    product.  Exactness within a bucket; rounded for cross-engine parity."""
+    product.  Exactness within a bucket; rounded for cross-engine parity.
+
+    Mega-bucket guard: sign-bit buckets skew (a corpus whose embeddings all
+    share leading signs lands in ONE bucket, and more bits don't help), and
+    the within-bucket comparison is inherently quadratic — what can't be
+    avoided is the compute, what must be avoided is one task doing all of
+    it.  When the largest bucket exceeds ``max_bucket_rows``, the a-side is
+    replicated ``s`` ways and the b-side salted by id-hash, so each shuffle
+    key (bucket, salt) carries ~1/s of the pair work; every (a, b) pair
+    still meets exactly once (when the a-replica index equals b's salt), so
+    the result set is identical to the unsalted join."""
     b = embeddings.withColumn("bucket", signbit_bucket(vec_col, bits)).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket"
     )
-    pairs = (
-        b.alias("a")
-        .join(
+    # bounded agg: at most 2^bits rows come back
+    biggest = (
+        b.groupBy("bucket").count().agg(F.max("count")).first()[0] or 0
+    )
+    s = max(1, -(-int(biggest) // max_bucket_rows))  # ceil div
+    if s == 1:
+        joined = b.alias("a").join(
             b.alias("b"),
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos_sim"),
+    else:
+        a_rep = b.alias("a").withColumn(
+            "rep", F.explode(F.array(*[F.lit(i) for i in range(s)]))
         )
+        b_salt = b.alias("b").withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("b.id")), F.lit(s)).cast("int")
+        )
+        joined = a_rep.join(
+            b_salt,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("rep") == F.col("salt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+    pairs = joined.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
 

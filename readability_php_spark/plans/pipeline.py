@@ -33,7 +33,6 @@ Scale reasoning (explicitly, for the 1000-executor / 100 TB case):
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -78,13 +77,22 @@ def with_bucket(pages: DataFrame, num_buckets: int, seed: int = 42) -> DataFrame
     )
 
 
-def read_manifest(spark: SparkSession, manifest_path: str) -> Optional[DataFrame]:
+def _try_read_parquet(spark: SparkSession, path: str) -> Optional[DataFrame]:
+    """Filesystem-agnostic existence probe + read.  ``os.path.exists`` is
+    driver-local — always False for hdfs://, s3a://, etc. — which would make
+    resume dedup silently never engage on a real cluster.  Letting the scan
+    itself fail (AnalysisException: path does not exist) works on any
+    Hadoop-compatible filesystem."""
     try:
-        if not os.path.exists(manifest_path):
-            return None
-        return spark.read.parquet(manifest_path)
+        df = spark.read.parquet(path)
+        df.schema  # force resolution so a missing path fails here
+        return df
     except Exception:
         return None
+
+
+def read_manifest(spark: SparkSession, manifest_path: str) -> Optional[DataFrame]:
+    return _try_read_parquet(spark, manifest_path)
 
 
 def run_extract_job(
@@ -142,6 +150,13 @@ def run_extract_job(
         skipped = len(done)
         done_ids = done
 
+    # Snapshot of rows committed by PREVIOUS runs (file listing is resolved
+    # at read time, so this never sees this run's own appends).  Gated on
+    # output existence alone — NOT on the manifest: a crash between the
+    # first data append and the first manifest append leaves committed rows
+    # with no manifest at all, and rerunning must still not duplicate them.
+    committed = _try_read_parquet(spark, output_path) if resume else None
+
     wave_size = max(1, (num_buckets + waves - 1) // waves)
     waves_run = 0
     buckets_done = 0
@@ -154,26 +169,29 @@ def run_extract_job(
             done_ids or waves > 1
         ) else work
 
-        # exactly-once across crashes: a run that died between the data
-        # append and the manifest append leaves committed rows in buckets
+        # exactly-once across crashes: a run that died between a data
+        # append and its manifest append leaves committed rows in buckets
         # the manifest doesn't know about — drop those urls before
-        # re-extracting (url-column-pruned scan of the wave's buckets only)
-        if manifest is not None and os.path.exists(output_path):
+        # re-extracting.  The output is partitionBy(part_id), so this scan
+        # prunes to the wave's own directories and reads only the url column.
+        if committed is not None:
             already = (
-                spark.read.parquet(output_path)
-                .select("url", "part_id")
+                committed
                 .filter(F.col("part_id").isin(wave_buckets))
                 .select("url")
             )
             wave = wave.join(already, "url", "left_anti")
 
         extracted = extract_operator(wave, config, carry=("part_id",))
-        extracted.write.mode("append").parquet(output_path)
+        # partitionBy: resume anti-joins and per-wave metrics read back a
+        # bucket subset — directory-partitioned layout turns those reads
+        # from O(total accumulated output) into O(this wave's buckets).
+        extracted.write.mode("append").partitionBy("part_id").parquet(output_path)
         waves_run += 1
         buckets_done += len(wave_buckets)
 
-        # per-bucket lineage/metrics → manifest (append).  Column-pruned
-        # read-back of the output; restricted to this wave's buckets.
+        # per-bucket lineage/metrics → manifest (append).  Column-pruned,
+        # partition-pruned read-back: only this wave's part_id directories.
         out = spark.read.parquet(output_path).select(
             "part_id", "error", "attempts", "extract_ms", "html_bytes"
         ).filter(F.col("part_id").isin(wave_buckets))

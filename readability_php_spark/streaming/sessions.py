@@ -113,3 +113,48 @@ def sessionize(events_stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Batch twin of ``sessionize`` — identical session semantics (per-user
+    gap split, strict ``> gap``, microsecond precision) expressed as pure
+    window/groupBy column algebra.  This is the backfill path AND what makes
+    the streaming operator's semantics oracle-checkable: a drained stream's
+    closed sessions equal this over the same rows.
+
+    Scale shape: one shuffle on user_id (window + groupBy share the
+    partitioning, so Catalyst reuses the exchange); state never materializes
+    beyond a lag column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = gap_seconds * _US
+    flagged = (
+        events.select("user_id", "ts", "value")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                # cast: unix_micros rejects TIMESTAMP_NTZ; only the
+                # difference is used, so the timezone attached is irrelevant
+                | (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                    > gap_us
+                ),
+                1,
+            ).otherwise(0),
+        )
+        # default window frame is RANGE → tied timestamps share one
+        # cumulative value, so equal-ts events can never straddle a session
+        # boundary in either engine
+        .withColumn("session_no", F.sum("new_session").over(w).cast("int"))
+    )
+    return flagged.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("events"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )

@@ -131,3 +131,18 @@ def test_retry_flag_relaxation_attempts():
     assert r.error is None
     assert r.attempts >= 2
     assert "Real article sentence" in r.extracted_text
+
+
+def test_composite_render_tostring():
+    """S6 — __toString() (src/Readability.php:1680-1683): the rendered
+    composite is exactly <h1>{title}</h1>{content} over a golden fixture."""
+    src = open(
+        "/root/reference/test/test-pages/001/source.html", encoding="utf-8"
+    ).read()
+    r = extract(src, Configuration(article_byline=True, fix_relative_urls=True))
+    assert r.error is None and r.title and r.content_html
+    assert str(r) == f"<h1>{r.title}</h1>{r.content_html}"
+    # null fields render as '' (PHP sprintf semantics)
+    from readability_php_spark.kernel.readability import ParseResult
+
+    assert str(ParseResult()) == "<h1></h1>"

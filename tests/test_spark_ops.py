@@ -132,6 +132,79 @@ def test_pipeline_partial_resume(spark, tmp_path):
     assert m2.select("part_id").distinct().count() == 8
 
 
+def test_embedding_near_dups_mega_bucket_salted(spark):
+    """Degenerate all-same-sign corpus: every vector lands in ONE sign-bit
+    bucket (more bits can't split it).  The salt guard must engage, the job
+    must complete without one quadratic task, and the pair set must be
+    identical to the unsalted join."""
+    from readability_php_spark.operators.similarity import embedding_near_dups
+
+    rows = [(i, [1.0 + 0.001 * i, 2.0, 3.0, 4.0, 0.5 * (i % 7)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    salted = embedding_near_dups(emb, threshold=0.99, bits=4, max_bucket_rows=10)
+    plain = embedding_near_dups(emb, threshold=0.99, bits=4, max_bucket_rows=10**9)
+    got = {(r.id_a, r.id_b, r.cos_sim) for r in salted.collect()}
+    want = {(r.id_a, r.id_b, r.cos_sim) for r in plain.collect()}
+    assert got == want and len(want) > 0
+    # the salted plan really does fan the a-side out s ways
+    assert "explode" in salted._jdf.queryExecution().executedPlan().toString().lower()
+
+
+def test_composite_render_column(spark):
+    """S6 at the DataFrame level: rendered = <h1>{title}</h1>{content_html}."""
+    from readability_php_spark.operators.extract import composite_render
+
+    pages = spark.createDataFrame(
+        [("http://x/1",
+          b"<html><head><title>T - S</title></head><body><div><p>"
+          + b"Real article sentence, with commas, goes here. " * 30
+          + b"</p></div></body></html>")],
+        "url string, html binary",
+    )
+    row = composite_render(extract_operator(pages, CFG)).first()
+    assert row.rendered == f"<h1>{row.title}</h1>{row.content_html}"
+    assert row.rendered.startswith("<h1>")
+
+
+def test_pipeline_resume_without_manifest(spark, tmp_path):
+    """Crash between the FIRST data append and the FIRST manifest append:
+    data committed, no manifest file at all.  The rerun must still not
+    duplicate the committed rows (anti-join is gated on output existence,
+    not on the manifest)."""
+    out_dir = str(tmp_path / "out3")
+    manifest_path = out_dir + "_manifest"
+    pages = fixture_corpus_df(spark, replicas=1)
+    run_extract_job(spark, pages, out_dir, num_buckets=8, config=CFG)
+    shutil.rmtree(manifest_path)  # the crash: manifest never landed
+    res = run_extract_job(spark, pages, out_dir, num_buckets=8, config=CFG)
+    assert res.buckets_skipped == 0  # no manifest -> nothing skippable
+    assert spark.read.parquet(out_dir).count() == 89
+    assert spark.read.parquet(out_dir).select("url").distinct().count() == 89
+    # manifest rebuilt, and its doc counts cover the committed rows exactly
+    m = spark.read.parquet(manifest_path)
+    assert m.select("part_id").distinct().count() == 8
+    assert m.agg(F.sum("docs")).first()[0] == 89
+
+
+def test_pipeline_output_partitioned_by_bucket(spark, tmp_path):
+    """Output layout is partitionBy(part_id): per-wave metric read-back and
+    resume anti-joins prune to the wave's own directories instead of
+    rescanning the full accumulated output."""
+    out_dir = str(tmp_path / "out4")
+    pages = fixture_corpus_df(spark, replicas=1)
+    run_extract_job(spark, pages, out_dir, num_buckets=4, config=CFG, waves=4)
+    subdirs = {d for d in os.listdir(out_dir) if d.startswith("part_id=")}
+    assert subdirs == {f"part_id={b}" for b in range(4)}
+    # partition pruning is visible in the plan of a bucket-subset read
+    plan = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("part_id").isin([1, 2]))
+        .select("url")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "part_id" in plan
+
+
 def test_exact_dedup_keeps_representative(spark):
     docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(50)
     dupes = docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
@@ -266,6 +339,19 @@ def test_stateful_sessionize(spark, tmp_path):
     assert j.count() == 0, j.limit(5).collect()
     # sessions respect the gap: start <= end everywhere
     assert out.filter(F.col("session_start") > F.col("session_end")).count() == 0
+    # drained stream == batch twin: identical session boundaries and sizes
+    # (closed sessions + the final open running view)
+    from readability_php_spark.streaming.sessions import sessionize_batch
+
+    batch = sessionize_batch(
+        spark.read.schema("user_id long, ts timestamp, value double").parquet(src),
+        gap_seconds=1800,
+    )
+    got = {(r.user_id, r.session_start, r.session_end, r.events)
+           for r in out.collect()}
+    want = {(r.user_id, r.session_start, r.session_end, r.events)
+            for r in batch.collect()}
+    assert got == want
 
 
 def test_warc_ingestion_end_to_end(spark, tmp_path):
