@@ -34,9 +34,10 @@ from .node import Comment, Document, Element, Text
 # Fast start-tag scanner (hot path — ~40% of kernel time is tokenization).
 # Matches the common well-formed case in one pass; anything irregular falls
 # back to the stdlib's tolerant parser, so error recovery is unchanged.
-_FAST_TAGNAME = re.compile(r"[a-zA-Z][a-zA-Z0-9:._-]*")
-# attr-less tags (the majority on real pages): one regex, no attr loop
-_FAST_BARE = re.compile(r"([a-zA-Z][a-zA-Z0-9:._-]*)\s*(/?)>")
+# tagname + (for the attr-less majority) the terminator, in ONE regex:
+# group(2) is ''/'/' when `\s*/?>` follows the name directly (bare path),
+# None when attributes (or junk) follow
+_FAST_START = re.compile(r"([a-zA-Z][a-zA-Z0-9:._-]*)(?:\s*(/?)>)?")
 # one regex call per attr-loop step: leading ws + (terminator | attr[=value]).
 # Same name/value charclasses as the stdlib-tolerant subset used previously,
 # so accepted/rejected inputs — and therefore stdlib-fallback behavior — are
@@ -153,8 +154,10 @@ class TreeBuilder(HTMLParser):
         anything unusual (mismatched quotes, junk, EOF truncation) so
         recovery behavior — and therefore golden parity — is identical."""
         rawdata = self.rawdata
-        m = _FAST_BARE.match(rawdata, i + 1)
-        if m is not None:
+        m = _FAST_START.match(rawdata, i + 1)
+        if m is None:
+            return super().parse_starttag(i)
+        if m.group(2) is not None:  # bare tag: terminator right after name
             tag = m.group(1).lower()
             self.lasttag = tag
             if m.group(2):
@@ -164,11 +167,8 @@ class TreeBuilder(HTMLParser):
                 if tag in self.CDATA_CONTENT_ELEMENTS:
                     self.set_cdata_mode(tag)
             return m.end()  # match() anchored at i+1 → end is absolute
-        m = _FAST_TAGNAME.match(rawdata, i + 1)
-        if m is None:
-            return super().parse_starttag(i)
-        tag = m.group(0)
-        j = m.end()
+        tag = m.group(1)
+        j = m.end(1)  # leave the whitespace for the attr-loop regex
         attrs = []
         while True:
             am = _FAST_ATTR_OR_END.match(rawdata, j)
@@ -389,7 +389,8 @@ class TreeBuilder(HTMLParser):
 
     # --- HTMLParser callbacks ---------------------------------------------
     def handle_starttag(self, tag, attrs):
-        self._flush_pending_ws(False)
+        if self._pending_ws is not None:  # inlined guard: hot path
+            self._flush_pending_ws(False)
         if tag == "html":
             # libxml discards a misplaced/duplicate <html> tag entirely —
             # including its attributes (htmlParseStartTag "misplaced <html>
@@ -411,7 +412,8 @@ class TreeBuilder(HTMLParser):
             return
         self._imply_end_tags(tag)
         el = Element(tag)
-        self._merge_attrs(el, attrs)
+        if attrs:
+            self._merge_attrs(el, attrs)
         self._insertion_parent(tag).append_child(el)
         if tag not in VOID_ELEMENTS and len(self.stack) < MAX_OPEN_DEPTH:
             # past the cap, elements are inserted but treated as immediately
@@ -422,19 +424,22 @@ class TreeBuilder(HTMLParser):
                 self._open_p += 1
 
     def handle_startendtag(self, tag, attrs):
-        self._flush_pending_ws(False)
+        if self._pending_ws is not None:  # inlined guard: hot path
+            self._flush_pending_ws(False)
         if tag in ("html", "head", "body"):
             self.handle_starttag(tag, attrs)
             return
         self._imply_end_tags(tag)
         el = Element(tag)
-        self._merge_attrs(el, attrs)
+        if attrs:
+            self._merge_attrs(el, attrs)
         self._insertion_parent(tag).append_child(el)
         # <div/> in text/html is an OPEN tag per HTML5; libxml treats it as
         # empty. We follow libxml (reference parser) and keep it childless.
 
     def handle_endtag(self, tag):
-        self._flush_pending_ws(True)
+        if self._pending_ws is not None:  # inlined guard: hot path
+            self._flush_pending_ws(True)
         if tag in VOID_ELEMENTS:
             return
         if tag in ("body", "html", "head"):

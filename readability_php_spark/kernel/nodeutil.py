@@ -195,13 +195,39 @@ def has_single_child_block_element(node: Element) -> bool:
     return False
 
 
+def _has_non_ws_text(node: Node) -> bool:
+    """True iff any descendant text node contains a non-whitespace char.
+    Iterative with first-hit exit; comments contribute nothing (matching
+    text_content)."""
+    search = REGEXPS["nonWhitespace"].search
+    stack: list = []
+    n = node.first_child
+    while n is not None or stack:
+        if n is None:
+            n = stack.pop()
+            continue
+        t = n.node_type
+        if t == TEXT_NODE:
+            if search(n.data) is not None:
+                return True
+        elif t == ELEMENT_NODE and n.first_child is not None:
+            if n.next is not None:
+                stack.append(n.next)
+            n = n.first_child
+            continue
+        n = n.next
+    return False
+
+
 def is_element_without_content(node: Node) -> bool:
     # NodeTrait.php:469-488
     if node.node_type != ELEMENT_NODE:
         return False
-    # "any non-whitespace?" — \S excludes \xa0 too, so this equals
-    # len(onlyWhitespace.sub("")) != 0 without building the stripped copy
-    if REGEXPS["nonWhitespace"].search(node.text_content) is not None:
+    # "any non-whitespace?" — early-exit subtree walk over text nodes
+    # (\S excludes \xa0 too, so this equals len(onlyWhitespace.sub("")) != 0
+    # without materializing the concatenated subtree text; this runs inside
+    # mutating walks where the text_content cache is always cold)
+    if _has_non_ws_text(node):
         return False
     children = node.child_nodes
     if len(children) == 0:
