@@ -117,6 +117,10 @@ def kmeans_centroids(
     trained centroids (and hence every downstream cell assignment)
     cross-engine and cross-run deterministic, which is what lets the DuckDB
     oracle replay the exact same Lloyd trajectory."""
+    # Lloyd re-reads the corpus once per iteration (assign + mean) plus the
+    # init scan — persist for the loop's lifetime (standard k-means-training
+    # shape; at 10^12 rows you'd train on a persisted sample instead).
+    embeddings = embeddings.persist()
     cents = (
         embeddings.orderBy(id_col)
         .limit(k)
@@ -150,6 +154,7 @@ def kmeans_centroids(
         new = {r.cid: list(r.cvec) for r in means.collect()}
         centroids = [(c, new.get(c, v)) for c, v in centroids]
         assert all(len(v) == dim for _, v in centroids)
+    embeddings.unpersist()
     return embeddings.sparkSession.createDataFrame(
         [(c, [float(x) for x in v]) for c, v in centroids],
         "cid int, cvec array<double>",
