@@ -340,6 +340,24 @@ def q_median_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed train/val/test split (md5-threshold —
+    stable across reruns/cluster sizes, reproducible outside Spark)."""
+    from readability_php_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://synth.test/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+    )
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                     key_col="url", seed=42)
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
 def q_sessions_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the streaming
     applyInPandasWithState operator in streaming/sessions.py — same
@@ -478,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "rollup_stats": q_rollup_stats,
         "median_chars_by_lang": q_median_chars_by_lang,
+        "hash_split": q_hash_split,
         "sessions_by_user": q_sessions_by_user,
         "asof_join_events": q_asof_join_events,
         "revenue_by_nation": q_revenue_by_nation,
@@ -900,6 +919,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    round(quantile_cont(n_chars, 0.5), 4) AS median_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # hash_split: same md5-prefix → uint32 → integer-threshold math as
+        # operators/sampling.py (thresholds computed identically in Python)
+        "hash_split": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     'http://synth.test/doc/' || doc_id || '.html#42' AS ks
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     list_reduce(list_transform(range(1, 9),
+                       j -> (strpos('0123456789abcdef', substr(md5(ks), j, 1)) - 1)::BIGINT),
+                       (a, b) -> a * 16 + b) AS u
+              FROM d)
+            SELECT doc_id,
+                   CASE WHEN u < {int(0.8 * (1 << 32))} THEN 'train'
+                        WHEN u < {int(0.9 * (1 << 32))} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h ORDER BY doc_id
         """,
         # gaps-and-islands: session boundary where the per-user gap exceeds
         # 1800s (strict >, microsecond precision — mirrors streaming/

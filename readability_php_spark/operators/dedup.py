@@ -139,11 +139,17 @@ def connected_components(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # one neighbor join per round reads the edge set every iteration —
+        # without this, the (potentially expensive) candidate-generation
+        # lineage above re-executes O(log diameter) times
+        .persist()
     )
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
+        # labels feed three joins per round; materialize the start state
+        .localCheckpoint()
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -168,17 +174,20 @@ def connected_components(
                 ).alias("cluster_id"),
             )
         )
-        # one action per round: count changed labels (converged → 0)
+        # checkpoint FIRST (eager — truncates the growing lineage so round
+        # N never re-executes rounds 1..N-1), THEN count convergence over
+        # the two materialized label sets: counting before checkpointing
+        # executed every round's plan twice
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        # localCheckpoint truncates the growing lineage so round N's plan
-        # doesn't re-execute rounds 1..N-1
-        labels = new_labels.localCheckpoint()
+        labels = new_labels
         if changed == 0:
+            edges.unpersist()
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"

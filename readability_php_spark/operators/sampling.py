@@ -1,0 +1,71 @@
+"""Deterministic, content-keyed sampling and dataset splitting.
+
+Training pipelines need splits that are (a) stable across reruns and
+cluster sizes, (b) disjoint, and (c) reproducible OUTSIDE Spark (so an
+offline evaluator can re-derive membership).  ``rand()``-based sampling
+fails all three.  These operators key every decision on a hash of a
+content-stable column (url / doc key):
+
+    u = first 8 hex digits of md5(key || '#' || seed)  →  uint32
+
+and compare against integer thresholds ``floor(fraction * 2^32)`` — pure
+column algebra, exactly reproducible in any engine with md5 (the DuckDB
+oracle replays it digit-for-digit).
+
+Scale shape: a narrow map — no shuffle, no state; the split column
+composes with partitioned writes (``partitionBy("split")``) for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 32  # md5 prefix space
+
+
+def hash_uniform(key: Column, seed: int = 42) -> Column:
+    """uint32 drawn uniformly from md5(key || '#seed') — the first 8 hex
+    digits, decoded.  Deterministic, engine-portable (md5 is everywhere;
+    xxhash64 is Spark-only)."""
+    return F.conv(
+        F.substring(F.md5(F.encode(F.concat(key, F.lit(f"#{seed}")), "UTF-8")), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str = "url", seed: int = 42
+) -> DataFrame:
+    """Keep ~``rate`` of rows, decided per-row by content hash: stable under
+    reruns, re-partitioning, and cluster-size changes (unlike df.sample)."""
+    threshold = int(rate * _BUCKETS)
+    return df.filter(hash_uniform(F.col(key_col), seed) < F.lit(threshold))
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    key_col: str = "url",
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to exactly one named split by cumulative integer
+    thresholds over the key hash.  Fractions must sum to 1 (the last split
+    absorbs the rounding remainder so every row lands somewhere)."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = list(fractions)
+    u = hash_uniform(F.col(key_col), seed)
+    expr = F.lit(names[-1])  # last split takes the remainder
+    acc = 0.0
+    conds = []
+    for name in names[:-1]:
+        acc += fractions[name]
+        conds.append((int(acc * _BUCKETS), name))
+    for threshold, name in reversed(conds):
+        expr = F.when(u < F.lit(threshold), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

@@ -132,6 +132,26 @@ def test_pipeline_partial_resume(spark, tmp_path):
     assert m2.select("part_id").distinct().count() == 8
 
 
+def test_hash_split_stable_disjoint_proportional(spark):
+    from readability_php_spark.operators.sampling import hash_sample, hash_split
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.concat(F.lit("u://"), F.col("doc_id").cast("string")).alias("url")
+    )
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="url")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == docs.count()  # total conservation (disjoint + exhaustive)
+    assert 0.7 < counts["train"] / n < 0.9
+    # stability: identical assignment on a second run
+    out2 = {r.doc_id: r.split for r in hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="url").collect()}
+    assert {r.doc_id: r.split for r in out.collect()} == out2
+    # sampling: rate respected within tolerance, subset semantics by content
+    s = hash_sample(docs, 0.25, key_col="url")
+    assert 0.15 < s.count() / n < 0.35
+
+
 def test_embedding_near_dups_mega_bucket_salted(spark):
     """Degenerate all-same-sign corpus: every vector lands in ONE sign-bit
     bucket (more bits can't split it).  The salt guard must engage, the job
