@@ -358,6 +358,17 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split").orderBy("doc_id")
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-sequence packing (prefix-sum // budget) over
+    the documents table, n_chars as the length measure."""
+    from readability_php_spark.operators.packing import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return pack_documents(
+        docs, budget=20_000, group_cols=("lang",), tokens_col="n_chars"
+    ).orderBy("lang", "doc_id")
+
+
 def q_sessions_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the streaming
     applyInPandasWithState operator in streaming/sessions.py — same
@@ -497,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_stats": q_rollup_stats,
         "median_chars_by_lang": q_median_chars_by_lang,
         "hash_split": q_hash_split,
+        "pack_documents": q_pack_documents,
         "sessions_by_user": q_sessions_by_user,
         "asof_join_events": q_asof_join_events,
         "revenue_by_nation": q_revenue_by_nation,
@@ -938,6 +950,18 @@ def oracle_sql() -> dict[str, str]:
                         WHEN u < {int(0.9 * (1 << 32))} THEN 'val'
                         ELSE 'test' END AS split
             FROM h ORDER BY doc_id
+        """,
+        # packing: same prefix-sum // budget as operators/packing.py
+        "pack_documents": """
+            WITH p AS (
+              SELECT lang, doc_id, n_chars,
+                     sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_chars AS prefix
+              FROM documents)
+            SELECT lang, doc_id, n_chars,
+                   (prefix // 20000)::BIGINT AS pack_id,
+                   n_chars > 20000 AS oversize
+            FROM p ORDER BY lang, doc_id
         """,
         # gaps-and-islands: session boundary where the per-user gap exceeds
         # 1800s (strict >, microsecond precision — mirrors streaming/

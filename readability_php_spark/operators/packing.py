@@ -1,0 +1,70 @@
+"""Deterministic document packing: group variable-length documents into
+fixed token-budget training sequences.
+
+Pretraining data prep concatenates documents into constant-length sequences;
+the operator that decides *which documents share a sequence* must be
+deterministic (resumable, auditable) and cheap at 10^12 docs.  This is the
+classic greedy-by-order scheme expressed as pure window algebra:
+
+    prefix  = sum(n_tokens) OVER (PARTITION BY group ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+    pack_id = floor(prefix / budget)
+
+i.e. a document belongs to the pack in which its first token would land
+under plain concatenation in doc_id order.  Exactly reproducible in any
+SQL engine (the DuckDB oracle is the same three lines).
+
+Scale shape: one shuffle (the window partition key).  At 10^12 docs a
+single global window would serialize per group — the deployment pattern is
+hierarchical: hash-bucket the corpus (part_id), pack within buckets
+(window key = (group, part_id)), and let sequence ids be (bucket, pack_id)
+pairs.  ``pack_documents`` takes the group columns explicitly so callers
+choose the granularity; per-group work is a linear scan after the sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget: int,
+    group_cols: tuple[str, ...] = ("lang",),
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign each document a ``pack_id`` within its group; documents with
+    ``prefix // budget`` equal share one training sequence.  Oversized
+    documents (> budget) get a pack of their own (flagged ``oversize``)."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = (F.sum(tokens_col).over(w) - F.col(tokens_col)).alias("prefix")
+    out = docs.select(*group_cols, order_col, tokens_col, prefix)
+    return out.select(
+        *group_cols,
+        order_col,
+        tokens_col,
+        F.floor(F.col("prefix") / budget).cast("bigint").alias("pack_id"),
+        (F.col(tokens_col) > budget).alias("oversize"),
+    )
+
+
+def pack_stats(packed: DataFrame, budget: int,
+               group_cols: tuple[str, ...] = ("lang",)) -> DataFrame:
+    """Per-pack fill metrics: tokens, docs, fill ratio (how much of the
+    budget the pack actually uses — the waste metric packing exists to
+    minimize)."""
+    return (
+        packed.groupBy(*group_cols, "pack_id")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .withColumn("fill", F.round(F.col("tokens") / budget, 4))
+    )

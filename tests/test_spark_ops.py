@@ -132,6 +132,26 @@ def test_pipeline_partial_resume(spark, tmp_path):
     assert m2.select("part_id").distinct().count() == 8
 
 
+def test_pack_documents_invariants(spark):
+    from readability_php_spark.operators.packing import pack_documents, pack_stats
+
+    docs = load_table(spark, SF, "documents").select("lang", "doc_id", "n_chars")
+    packed = pack_documents(docs, budget=20_000, group_cols=("lang",),
+                            tokens_col="n_chars")
+    assert packed.count() == docs.count()  # every doc lands in a pack
+    stats = pack_stats(packed.withColumnRenamed("n_chars", "n_tokens"), 20_000)
+    rows = stats.collect()
+    # a pack only exceeds the budget by (at most) its final doc's tail —
+    # never by a whole extra document
+    for r in rows:
+        assert r.tokens < 20_000 * 2
+    # pack ids are contiguous from 0 within each group
+    for lang_row in stats.groupBy("lang").agg(
+        F.min("pack_id").alias("lo"), F.max("pack_id").alias("hi"),
+        F.count("*").alias("n")).collect():
+        assert lang_row.lo == 0 and lang_row.n == lang_row.hi + 1
+
+
 def test_hash_split_stable_disjoint_proportional(spark):
     from readability_php_spark.operators.sampling import hash_sample, hash_split
 
