@@ -369,6 +369,31 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "doc_id")
 
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over synthetic PII-seeded text (the corpus text is
+    clean, so the query plants one email + one IPv4 per doc determinist-
+    ically on both sides — the scrubber must find and redact exactly
+    those)."""
+    from readability_php_spark.operators.scrub import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 now"),
+        ).alias("text"),
+    )
+    out = scrub_pii(docs, text_col="text", out_col="scrubbed")
+    return out.select(
+        "doc_id", "n_emails", "n_ipv4",
+        F.md5(F.encode(F.col("scrubbed"), "UTF-8")).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
 def q_sessions_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the streaming
     applyInPandasWithState operator in streaming/sessions.py — same
@@ -509,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_chars_by_lang": q_median_chars_by_lang,
         "hash_split": q_hash_split,
         "pack_documents": q_pack_documents,
+        "scrub_pii": q_scrub_pii,
         "sessions_by_user": q_sessions_by_user,
         "asof_join_events": q_asof_join_events,
         "revenue_by_nation": q_revenue_by_nation,
@@ -962,6 +988,31 @@ def oracle_sql() -> dict[str, str]:
                    (prefix // 20000)::BIGINT AS pack_id,
                    n_chars > 20000 AS oversize
             FROM p ORDER BY lang, doc_id
+        """,
+        # scrub_pii: identical regexes (RE2/Java-common subset) + identical
+        # synthetic PII seeding; compare redaction counts + md5 of the
+        # scrubbed text
+        "scrub_pii": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || ' contact doc' || doc_id || '@example.com or 10.0.'
+                          || (doc_id % 256) || '.1 now' AS text
+              FROM documents),
+            scrubbed AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS no_email
+              FROM seeded)
+            SELECT doc_id, n_emails::INT AS n_emails,
+                   len(regexp_extract_all(no_email,
+                     '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))::INT AS n_ipv4,
+                   md5(regexp_replace(no_email,
+                     '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                     '<IP>', 'g')) AS scrubbed_md5
+            FROM scrubbed ORDER BY doc_id
         """,
         # gaps-and-islands: session boundary where the per-user gap exceeds
         # 1800s (strict >, microsecond precision — mirrors streaming/

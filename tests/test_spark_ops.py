@@ -132,6 +132,28 @@ def test_pipeline_partial_resume(spark, tmp_path):
     assert m2.select("part_id").distinct().count() == 8
 
 
+def test_scrub_pii(spark):
+    from readability_php_spark.operators.scrub import scrub_pii
+
+    rows = [
+        (1, "mail me at a.b+c@test-site.co.uk or 192.168.0.1 thanks"),
+        (2, "no pii here at all"),
+        (3, "double x@y.io z@w.ai and 10.0.0.1 10.0.0.2"),
+        (4, "ip-lookalike inside email: u@10.0.0.1.example.com only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert out[1].n_emails == 1 and out[1].n_ipv4 == 1
+    assert "<EMAIL>" in out[1].scrubbed and "<IP>" in out[1].scrubbed
+    assert "192.168" not in out[1].scrubbed
+    assert out[2].n_emails == 0 and out[2].n_ipv4 == 0
+    assert out[2].scrubbed == rows[1][1]
+    assert out[3].n_emails == 2 and out[3].n_ipv4 == 2
+    # the address inside the email's domain is redacted as part of the
+    # email, not double-counted as an IP
+    assert out[4].n_emails == 1 and out[4].n_ipv4 == 0
+
+
 def test_pack_documents_invariants(spark):
     from readability_php_spark.operators.packing import pack_documents, pack_stats
 
