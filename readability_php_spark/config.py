@@ -1,8 +1,10 @@
 """Extraction configuration.
 
 Mirrors the knob surface of the reference ``src/Configuration.php:17-69``
-(11 scalar options + logger, which we drop: logging per-row at 10^12 scale is
-a metrics column, not a logger).  Frozen dataclass: the three flags the
+(11 scalar options + the PSR-3 logger, here stdlib-``logging``-shaped with a
+null default — at 10^12-row scale per-row logging belongs in metrics
+columns, but the injection surface itself is parity:
+``src/Configuration.php:107-124``).  Frozen dataclass: the three flags the
 reference's retry loop mutates (``stripUnlikelyCandidates``, ``weightClasses``,
 ``cleanConditionally`` — ``src/Readability.php:182-190``) become *loop-local*
 variables inside the kernel, never mutated config state, so one immutable
@@ -11,8 +13,22 @@ config object can be closure-captured into a Spark UDF safely.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass, field, replace
 from typing import Any, Mapping
+
+
+class _NullLogger:
+    """PSR-3 NullLogger analogue (src/Configuration.php:109-112): returned
+    when no logger is injected; every level is a no-op."""
+
+    def debug(self, *a: Any, **k: Any) -> None: ...
+    def info(self, *a: Any, **k: Any) -> None: ...
+    def warning(self, *a: Any, **k: Any) -> None: ...
+    def error(self, *a: Any, **k: Any) -> None: ...
+    def critical(self, *a: Any, **k: Any) -> None: ...  # PSR-3 emergency
+
+
+NULL_LOGGER = _NullLogger()
 
 
 @dataclass(frozen=True)
@@ -29,6 +45,13 @@ class Configuration:
     normalize_entities: bool = False     # :51
     summon_cthulhu: bool = False         # :55 (pre-parse regex <script> strip)
     original_url: str = "http://fakehost/test/test.html"  # :59
+    #: stdlib-logging-shaped (debug/info/warning/error/critical); excluded
+    #: from eq/hash so configs stay usable as cache keys / UDF closures
+    logger: Any = field(default=None, compare=False)
+
+    def get_logger(self) -> Any:
+        """src/Configuration.php:107-114 — null logger when none injected."""
+        return self.logger if self.logger is not None else NULL_LOGGER
 
     _CAMEL = {
         "maxTopCandidates": "max_top_candidates",

@@ -89,16 +89,21 @@ class Readability:
 
     # --- S1-S3: load --------------------------------------------------------
     def load_html(self, html: str) -> Document:
+        log = self.config.get_logger()
+        log.debug("[Loading] Loading HTML...")  # src/Readability.php:252
         if self.config.normalize_entities:
             # S2 — src/Readability.php:263-268: replace non-ASCII characters
             # with entity equivalents (mb_convert_encoding 'HTML-ENTITIES');
             # numeric charrefs decode identically on parse
             html = html.encode("ascii", "xmlcharrefreplace").decode("ascii")
+            log.debug("[Loading] Normalized entities.")  # :265
         if self.config.summon_cthulhu:
             html = CTHULHU.sub("", html)
+            log.debug("[Loading] Removed script tags via regex.")  # :271
         dom = parse_html(html)
         remove_scripts(dom)
         prep_document(dom)
+        log.debug("[Loading] Loaded HTML successfully.")  # :283
         return dom
 
     def to_absolute_uri(self, uri: str) -> str:
@@ -107,12 +112,15 @@ class Readability:
 
     # --- main entry -----------------------------------------------------------
     def parse(self, html: str) -> ParseResult:
+        log = self.config.get_logger()
+        log.info("*** Starting parse process...")  # src/Readability.php:141
         result = ParseResult()
         self.dom = self.load_html(html)
 
         # S4: guard (src/Readability.php:146-150)
         root = self.dom.body
         if root is None or root.first_child is None:
+            log.critical("No body tag present or body tag empty")  # :147
             result.error = ERROR_INVALID_HTML
             return result
 
@@ -150,18 +158,27 @@ class Readability:
             if article:
                 length = _text_metric_length(article.text_content)
 
+            log.info(
+                "[Parsing] Article parsed. Amount of words: %s. "
+                "Current threshold is: %s", length, self.config.char_threshold,
+            )  # src/Readability.php:174
             if length < self.config.char_threshold:
                 self.attempts.append((article, length))
                 if self.flags["strip_unlikely"]:
                     self.flags["strip_unlikely"] = False
+                    log.debug("[Parsing] Threshold not met, trying again setting StripUnlikelyCandidates as false")  # :181
                 elif self.flags["weight_classes"]:
                     self.flags["weight_classes"] = False
+                    log.debug("[Parsing] Threshold not met, trying again setting WeightClasses as false")  # :185
                 elif self.flags["clean_conditionally"]:
                     self.flags["clean_conditionally"] = False
+                    log.debug("[Parsing] Threshold not met, trying again setting CleanConditionally as false")  # :189
                 else:
+                    log.debug("[Parsing] Threshold not met, searching across attempts for some content.")  # :193
                     # take the longest attempt (PHP boolean-usort ≈ max-first)
                     best = max(self.attempts, key=lambda a: a[1])
                     if not best[1]:
+                        log.critical("[Parsing] Could not parse text, giving up :(")  # :203
                         result.error = ERROR_UNPARSEABLE
                         result.title = self.title
                         result.byline = self.author
@@ -215,6 +232,7 @@ class Readability:
         result.site_name = self.site_name
         result.direction = self.direction
         result.attempts = attempts_used
+        log.info("*** Parse successful :)")  # src/Readability.php:233
         return result
 
 

@@ -146,3 +146,31 @@ def test_composite_render_tostring():
     from readability_php_spark.kernel.readability import ParseResult
 
     assert str(ParseResult()) == "<h1></h1>"
+
+
+def test_configuration_logger_injection():
+    """test/ConfigurationTest.php logger parity: an injected logger is
+    retrievable and receives the reference's parse-lifecycle messages; the
+    default is a no-op null logger (src/Configuration.php:107-124)."""
+    assert Configuration().get_logger().info("x") is None  # null logger
+
+    class Capture:
+        def __init__(self):
+            self.lines = []
+        def debug(self, msg, *a): self.lines.append(msg % a if a else msg)
+        info = warning = error = critical = debug
+
+    cap = Capture()
+    cfg = Configuration(article_byline=True, logger=cap)
+    assert cfg.get_logger() is cap
+    content = "<p>" + "Real sentence, with commas, goes right here. " * 40 + "</p>"
+    r = extract(f"<html><body><div>{content}</div></body></html>", cfg)
+    assert r.error is None
+    joined = "\n".join(cap.lines)
+    assert "*** Starting parse process..." in joined
+    assert "[Loading] Loaded HTML successfully." in joined
+    assert "*** Parse successful :)" in joined
+    # failure path logs the reference's emergency message
+    cap2 = Capture()
+    extract("<html>", Configuration(logger=cap2))
+    assert any("No body tag present" in ln for ln in cap2.lines)
