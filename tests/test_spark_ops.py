@@ -132,6 +132,90 @@ def test_pipeline_partial_resume(spark, tmp_path):
     assert m2.select("part_id").distinct().count() == 8
 
 
+def test_pack_documents_matches_python_reference(spark):
+    """Differential test: pack assignment equals a pure-Python prefix-sum
+    reference on a seeded random corpus (groups, gaps, oversize docs)."""
+    import random
+
+    from readability_php_spark.operators.packing import pack_documents
+
+    rng = random.Random(1234)
+    rows = [
+        (rng.choice(["a", "b", "c"]), i, rng.choice([1, 50, 900, 2500]))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    got = {
+        (r.lang, r.doc_id): r.pack_id
+        for r in pack_documents(df, budget=1000, group_cols=("lang",)).collect()
+    }
+    prefix: dict = {}
+    for lang, doc_id, n in sorted(rows, key=lambda r: (r[0], r[1])):
+        p = prefix.get(lang, 0)
+        assert got[(lang, doc_id)] == p // 1000, (lang, doc_id)
+        prefix[lang] = p + n
+
+
+def test_hash_uniform_matches_python_md5(spark):
+    import hashlib
+
+    from readability_php_spark.operators.sampling import hash_uniform
+
+    keys = [f"k-{i}-{'x' * (i % 7)}" for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {r.k: r.u for r in df.select("k", hash_uniform(F.col("k"), 42).alias("u")).collect()}
+    for k in keys:
+        want = int(hashlib.md5(f"{k}#42".encode()).hexdigest()[:8], 16)
+        assert got[k] == want, k
+
+
+def test_scrub_pii_idempotent(spark):
+    """Redaction is a fixpoint: scrubbing scrubbed text changes nothing and
+    finds nothing (placeholders must not look like PII)."""
+    from readability_php_spark.operators.scrub import scrub_pii
+
+    rows = [(i, f"w{i} a{i}@b{i}.org 10.{i % 256}.0.{i % 9} <EMAIL> end")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = scrub_pii(df).select("doc_id", F.col("scrubbed").alias("text"))
+    twice = scrub_pii(once)
+    bad = twice.filter(
+        (F.col("n_emails") > 0) | (F.col("n_ipv4") > 0)
+        | (F.col("scrubbed") != F.col("text"))
+    )
+    assert bad.count() == 0
+
+
+def test_connected_components_matches_union_find(spark):
+    """Differential test vs a pure-Python union-find on a seeded random
+    graph (mix of chains, stars, and isolated pairs)."""
+    import random
+
+    from readability_php_spark.operators.dedup import connected_components
+
+    rng = random.Random(99)
+    edges = set()
+    for _ in range(120):
+        a, b = rng.randrange(200), rng.randrange(200)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(df).collect()}
+
+    parent: dict = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in {x for e in edges for x in e}}
+    assert got == want
+
+
 def test_scrub_pii(spark):
     from readability_php_spark.operators.scrub import scrub_pii
 
