@@ -158,3 +158,76 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         F.count("*").alias("events"),
         F.round(F.sum("value"), 4).alias("value_sum"),
     )
+
+
+def make_event_time_sessionizer(gap_seconds: int = 1800):
+    """Event-time twin of ``make_sessionizer``: sessions close when the
+    WATERMARK passes last_event + gap (not when wall-clock elapses), so
+    replays of the same stream close the same sessions at the same points —
+    the determinism processing-time timeouts can't give.  Append-mode: only
+    closed sessions are emitted."""
+    gap_us = gap_seconds * _US
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n, vsum = state.get
+                rows.append((user_id, _ts(start_us), _ts(last_us), n, vsum, "gap"))
+            state.remove()
+        else:
+            events = pd.concat(list(pdfs))
+            ts_us = (events["ts"].astype("int64") // 1000).tolist()
+            vals = events["value"].tolist()
+            order = sorted(range(len(ts_us)), key=lambda i: ts_us[i])
+            if state.exists:
+                start_us, last_us, n, vsum = state.get
+            else:
+                start_us, last_us, n, vsum = None, 0, 0, 0.0
+            for i in order:
+                t, v = ts_us[i], float(vals[i])
+                if start_us is None:
+                    start_us, last_us, n, vsum = t, t, 1, v
+                elif t - last_us > gap_us:
+                    rows.append((user_id, _ts(start_us), _ts(last_us), n, vsum, "gap"))
+                    start_us, last_us, n, vsum = t, t, 1, v
+                else:
+                    last_us = max(last_us, t)
+                    n += 1
+                    vsum += v
+            state.update((start_us, last_us, n, vsum))
+            # close when event time (watermark) passes last + gap
+            state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "session_start", "session_end", "events",
+                     "value_sum", "closed"],
+        )
+
+    return fn
+
+
+def sessionize_event_time(
+    events_stream: DataFrame, gap_seconds: int = 1800, watermark: str = "1 hour"
+) -> DataFrame:
+    """events stream → CLOSED session rows, decided by event time.  The
+    watermark bounds state retention AND defines when a session is provably
+    over (no event within ``gap`` can still arrive) — the late-data story
+    the north rule asks for."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_event_time_sessionizer(gap_seconds),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

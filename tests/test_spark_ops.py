@@ -500,6 +500,58 @@ def test_stateful_sessionize(spark, tmp_path):
     assert got == want
 
 
+def test_event_time_sessionize(spark, tmp_path):
+    """Event-time sessionizer (append mode, watermark timeouts): in a single
+    drained batch, the closed sessions are exactly the batch twin's sessions
+    minus each user's final (still-open) one."""
+    from readability_php_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_event_time,
+    )
+
+    src = str(tmp_path / "ev_src")
+    load_table(spark, SF, "events").select("user_id", "ts", "value").filter(
+        F.col("user_id") < 200
+    ).write.parquet(src)
+    schema = "user_id long, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sessionize_event_time(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("ev_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from ev_sessions")
+    assert out.filter(F.col("closed") != "gap").count() == 0  # append: closed only
+    got = {(r.user_id, r.session_start, r.session_end, r.events)
+           for r in out.collect()}
+    batch = sessionize_batch(
+        spark.read.schema(schema).parquet(src), gap_seconds=1800
+    ).collect()
+    last_start = {}
+    for r in batch:
+        cur = last_start.get(r.user_id)
+        if cur is None or r.session_start > cur:
+            last_start[r.user_id] = r.session_start
+    non_final = {(r.user_id, r.session_start, r.session_end, r.events)
+                 for r in batch if r.session_start != last_start[r.user_id]}
+    finals = {(r.user_id, r.session_start, r.session_end, r.events)
+              for r in batch if r.session_start == last_start[r.user_id]}
+    # every gap-closed (non-final) session MUST be emitted
+    assert non_final <= got
+    # anything beyond those must be a FINAL session that provably timed out:
+    # its end + gap sits behind the final watermark (global max - delay)
+    import datetime as _dt
+
+    gmax = max(r.session_end for r in batch)
+    for extra in got - non_final:
+        assert extra in finals, extra
+        assert extra[2] + _dt.timedelta(seconds=1800 + 3600) <= gmax + _dt.timedelta(seconds=2), extra
+
+
 def test_warc_ingestion_end_to_end(spark, tmp_path):
     """WARC files -> pages DataFrame -> extraction pipeline."""
     from readability_php_spark.sources.warc import read_warc_directory, write_warc
