@@ -369,6 +369,48 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "doc_id")
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals; the text is seeded with a
+    duplicated line on both engines so dup_line_frac is exercised."""
+    from readability_php_spark.operators.text_analysis import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.col("text"),
+            F.concat(F.lit("unique "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return repetition_signals(docs).orderBy("doc_id")
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (C4/CCNet boilerplate killer) over text
+    seeded with shared boilerplate lines on both engines: the shared lines
+    must vanish from every doc, the unique ones must survive."""
+    from readability_php_spark.operators.dedup import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("SUBSCRIBE to our newsletter"),
+            F.col("text"),
+            F.concat(F.lit("unique tail "), F.col("doc_id").cast("string")),
+            F.lit("(c) synthcorp all rights reserved"),
+        ).alias("text"),
+    )
+    out = line_dedup(docs, min_count=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text_clean"), "UTF-8")).alias("clean_md5"),
+        "n_lines",
+        "n_lines_removed",
+    ).orderBy("doc_id")
+
+
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over synthetic PII-seeded text (the corpus text is
     clean, so the query plants one email + one IPv4 per doc determinist-
@@ -535,6 +577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "pack_documents": q_pack_documents,
         "scrub_pii": q_scrub_pii,
+        "line_dedup": q_line_dedup,
+        "repetition_signals": q_repetition_signals,
         "sessions_by_user": q_sessions_by_user,
         "asof_join_events": q_asof_join_events,
         "revenue_by_nation": q_revenue_by_nation,
@@ -988,6 +1032,64 @@ def oracle_sql() -> dict[str, str]:
                    (prefix // 20000)::BIGINT AS pack_id,
                    n_chars > 20000 AS oversize
             FROM p ORDER BY lang, doc_id
+        """,
+        # repetition_signals: same array/lambda algebra over the same
+        # seeded 3-line text (line 1 == line 2)
+        "repetition_signals": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || chr(10) || text || chr(10) || 'unique ' || doc_id AS text
+              FROM documents),
+            base AS (
+              SELECT doc_id,
+                     string_split(text, chr(10)) AS lines,
+                     string_split_regex(lower(trim(text)), '\s+') AS words
+              FROM seeded),
+            bg AS (
+              SELECT doc_id, lines, words,
+                     list_transform(range(1, len(words)),
+                                    i -> words[i] || ' ' || words[i + 1]) AS bigrams
+              FROM base)
+            SELECT doc_id,
+                   round(1.0 - len(list_distinct(lines))::DOUBLE / len(lines), 4)
+                     AS dup_line_frac,
+                   CASE WHEN len(words) > 0
+                        THEN round(1.0 - len(list_distinct(words))::DOUBLE / len(words), 4)
+                        ELSE 0.0 END AS dup_word_frac,
+                   CASE WHEN len(bigrams) > 0
+                        THEN round(list_max(list_transform(list_distinct(bigrams),
+                               x -> len(list_filter(bigrams, y -> y = x))))::DOUBLE
+                             / len(bigrams), 4)
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM bg ORDER BY doc_id
+        """,
+        # line_dedup: same md5(trim(line)) counting, same reassembly order
+        "line_dedup": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     'SUBSCRIBE to our newsletter' || chr(10) || text || chr(10)
+                       || 'unique tail ' || doc_id || chr(10)
+                       || '(c) synthcorp all rights reserved' AS text
+              FROM documents),
+            lines AS (
+              SELECT doc_id,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+                     unnest(string_split(text, chr(10))) AS line
+              FROM seeded),
+            keyed AS (SELECT doc_id, pos, line, md5(trim(line)) AS lk FROM lines),
+            dups AS (SELECT lk, TRUE AS is_dup FROM keyed GROUP BY lk HAVING count(*) >= 2),
+            marked AS (
+              SELECT k.doc_id, k.pos, k.line, coalesce(d.is_dup, FALSE) AS is_dup
+              FROM keyed k LEFT JOIN dups d USING (lk)),
+            rebuilt AS (
+              SELECT doc_id,
+                     count(*)::BIGINT AS n_lines,
+                     sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_lines_removed,
+                     coalesce(array_to_string(
+                       list(line ORDER BY pos) FILTER (WHERE NOT is_dup), chr(10)), '') AS text_clean
+              FROM marked GROUP BY doc_id)
+            SELECT doc_id, md5(text_clean) AS clean_md5, n_lines, n_lines_removed
+            FROM rebuilt ORDER BY doc_id
         """,
         # scrub_pii: identical regexes (RE2/Java-common subset) + identical
         # synthetic PII seeding; compare redaction counts + md5 of the

@@ -389,3 +389,60 @@ def simhash_near_dup_candidates(
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
+
+
+# --- line-level corpus dedup (C4/CCNet-style) --------------------------------
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove every line that occurs >= ``min_count`` times ACROSS the corpus
+    (boilerplate killer: nav bars, cookie banners, footers repeat verbatim on
+    thousands of pages — C4/CCNet drop them at the line level before document
+    dedup).  Returns (id, text_clean, n_lines, n_lines_removed).
+
+    Scale shape: explode → one md5-keyed groupBy for global line counts →
+    anti-join → one id-keyed groupBy to reassemble.  The count agg map-side
+    combines (boilerplate keys collapse per partition); the anti-join keys
+    are 32-hex strings, never the line text itself twice.  No all-pairs
+    anything; skew on a mega-line (empty string) is bounded because the
+    count table carries one row per distinct line."""
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("lk", F.md5(F.encode(F.trim(F.col("line")), "UTF-8")))
+    dup_keys = (
+        lines.groupBy("lk")
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select("lk", F.lit(True).alias("is_dup"))
+    )
+    marked = lines.join(dup_keys, "lk", "left")
+    rebuilt = marked.groupBy("id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_lines_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.coalesce(F.col("is_dup"), F.lit(False)),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("line"),
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    return rebuilt.select(
+        F.col("id").alias(id_col),
+        "text_clean",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
+    )

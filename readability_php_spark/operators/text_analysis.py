@@ -149,3 +149,48 @@ def analyze(documents: DataFrame, text_col: str = "text") -> DataFrame:
         lang_pred.alias("lang_pred"),
         "fp",
     )
+
+
+def repetition_signals(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (the quality filters
+    used to drop templated/spammy pages before training):
+
+    - ``dup_line_frac``  — fraction of lines that are repeats of an earlier
+      line in the same document;
+    - ``dup_word_frac``  — fraction of word occurrences beyond each word's
+      first;
+    - ``top_bigram_frac`` — share of all word-bigram occurrences taken by
+      the single most frequent bigram.
+
+    All pure array/lambda column algebra (codegen'd); the per-row distinct
+    scan is O(distinct × n) on in-memory arrays — no shuffle, no UDF."""
+    lines = F.split(F.col(text_col), "\n")
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    nw = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(nw - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(nw - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    nb = F.size(bigrams)
+    top_bigram = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda x: F.size(F.filter(bigrams, lambda y: y == x)),
+        )
+    )
+    return documents.select(
+        id_col,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines), 4
+        ).alias("dup_line_frac"),
+        F.when(
+            nw > 0,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(words)) / nw, 4),
+        ).otherwise(F.lit(0.0)).alias("dup_word_frac"),
+        F.when(nb > 0, F.round(top_bigram / nb, 4))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )

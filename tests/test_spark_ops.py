@@ -216,6 +216,40 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
 
 
+def test_line_dedup_semantics(spark):
+    from readability_php_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "boiler\nalpha one\nboiler2"),
+        (2, "boiler\nbeta two\nboiler2"),
+        (3, "gamma\ngamma\nunique three"),   # within-doc repeat also dies
+        (4, "boiler\nboiler2"),              # all lines shared -> empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df, min_count=2).collect()}
+    assert len(out) == 4  # no doc disappears
+    assert out[1].text_clean == "alpha one" and out[1].n_lines_removed == 2
+    assert out[2].text_clean == "beta two"
+    assert out[3].text_clean == "unique three" and out[3].n_lines_removed == 2
+    assert out[4].text_clean == "" and out[4].n_lines == 2
+
+
+def test_repetition_signals_values(spark):
+    from readability_php_spark.operators.text_analysis import repetition_signals
+
+    rows = [
+        (1, "a b a b a b"),        # bigrams: 'a b'x3,'b a'x2 -> top 3/5; words 2/6 distinct
+        (2, "x\nx\ny"),            # 3 lines, 2 distinct -> dup_line 1-2/3
+        (3, "all words differ ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert out[1].top_bigram_frac == 0.6
+    assert out[1].dup_word_frac == round(1 - 2 / 6, 4)
+    assert out[2].dup_line_frac == round(1 - 2 / 3, 4)
+    assert out[3].dup_word_frac == 0.0 and out[3].dup_line_frac == 0.0
+
+
 def test_scrub_pii(spark):
     from readability_php_spark.operators.scrub import scrub_pii
 
