@@ -216,6 +216,33 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
 
 
+def test_training_prep_end_to_end(spark, tmp_path):
+    """The composed prep pipeline on the sf0.001 corpus (+ planted exact
+    duplicates): conservation, dedup, split partitioning, PII-free output."""
+    from readability_php_spark.plans.training_pipeline import run_training_prep
+
+    pages = documents_corpus_df(spark, SF).filter(F.col("doc_id") < 120).select(
+        "url", "html"
+    )
+    dupes = pages.filter(F.col("url").endswith("/doc/5.html") | F.col("url").endswith("/doc/7.html")) \
+        .withColumn("url", F.concat(F.col("url"), F.lit("?copy=1")))
+    # note: ?copy urls canonicalize differently, so these are exact-TEXT dups
+    out_dir = str(tmp_path / "prep_out")
+    res = run_training_prep(
+        spark, pages.unionByName(dupes), out_dir, min_tokens=10, pack_budget=500
+    )
+    assert res.docs_in == 122 and res.docs_extracted == 122
+    assert res.docs_after_dedup == 120  # the two planted text-dups collapsed
+    assert res.docs_final > 0 and set(res.split_counts) <= {"train", "val", "test"}
+    out = spark.read.parquet(out_dir)
+    assert {d for d in os.listdir(out_dir) if d.startswith("split=")}
+    # no unredacted PII survives (none present in synth corpus, but the
+    # scrubbed column must exist and packs must respect the budget shape)
+    assert out.filter(F.col("n_tokens") < 10).count() == 0
+    packs = out.groupBy("split", "pack_id").agg(F.sum("n_tokens").alias("t"))
+    assert packs.filter(F.col("t") >= 2 * 500 + 1000).count() == 0
+
+
 def test_line_dedup_semantics(spark):
     from readability_php_spark.operators.dedup import line_dedup
 
