@@ -140,3 +140,67 @@ def write_warc(path: str, pages: list[tuple[str, str, bytes]], compress: bool = 
         data = gzip.compress(data)
     with open(path, "wb") as f:
         f.write(data)
+
+
+# --- WET (extracted-text conversion records) ---------------------------------
+
+def wet_records_to_rows(raw: bytes) -> Iterator[tuple]:
+    """WET files are WARC containers whose ``conversion`` records carry the
+    pre-extracted plain text (Common Crawl ships WARC/WAT/WET triples; many
+    training pipelines start from WET and skip HTML extraction entirely).
+    Same container parser, different record type and payload semantics."""
+    for headers, payload in iter_warc_records(raw):
+        if headers.get("warc-type") != "conversion":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        text = payload.decode("utf-8", errors="replace")
+        yield (url, _warc_ts(headers.get("warc-date")), None, text, None)
+
+
+def read_wet_directory(spark: SparkSession, path: str, glob: str = "*.wet*") -> DataFrame:
+    """Directory of WET files → pages DataFrame with ``text`` populated and
+    ``html`` null (one task per archive, same sharding shape as WARC)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in PAGES_SCHEMA.fields}
+            for raw in pdf["content"]:
+                for url, ts, html, text, lang in wet_records_to_rows(bytes(raw)):
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(ts)
+                    rows["html"].append(html)
+                    rows["text"].append(text)
+                    rows["lang"].append(lang)
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(batches, schema=PAGES_SCHEMA)
+
+
+def write_wet(path: str, docs: list[tuple[str, str, str]], compress: bool = False) -> None:
+    """Write (url, iso_ts, text) docs as a WET file (conversion records) —
+    test support, no external data."""
+    out = io.BytesIO()
+    for url, ts, text in docs:
+        body = text.encode("utf-8")
+        rec_headers = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            b"WARC-Target-URI: " + url.encode() + _CRLF +
+            b"WARC-Date: " + ts.encode() + _CRLF +
+            b"Content-Type: text/plain\r\n"
+            b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF
+        )
+        out.write(rec_headers + body + _CRLF + _CRLF)
+    data = out.getvalue()
+    if compress:
+        data = gzip.compress(data)
+    with open(path, "wb") as f:
+        f.write(data)

@@ -613,6 +613,34 @@ def test_event_time_sessionize(spark, tmp_path):
         assert extra[2] + _dt.timedelta(seconds=1800 + 3600) <= gmax + _dt.timedelta(seconds=2), extra
 
 
+def test_wet_ingestion_end_to_end(spark, tmp_path):
+    """WET (conversion-record) files -> pages DataFrame with text populated
+    -> straight into the text operators (no HTML extraction needed)."""
+    from readability_php_spark.operators.text_analysis import repetition_signals
+    from readability_php_spark.sources.warc import read_wet_directory, write_wet
+
+    docs = [
+        (f"http://wet.test/{i}", f"2024-02-01T00:00:0{i}Z",
+         f"doc {i} body words repeat repeat ok\nsecond line {i}")
+        for i in range(6)
+    ]
+    wdir = tmp_path / "wets"
+    wdir.mkdir()
+    write_wet(str(wdir / "a.wet"), docs[:3], compress=False)
+    write_wet(str(wdir / "b.wet.gz"), docs[3:], compress=True)
+
+    df = read_wet_directory(spark, str(wdir))
+    rows = df.collect()
+    assert len(rows) == 6
+    assert {r.url for r in rows} == {d[0] for d in docs}
+    assert all(r.html is None and r.text and r.warc_ts is not None for r in rows)
+    # text operators run directly on the WET text
+    sig = repetition_signals(
+        df.select(F.xxhash64("url").alias("doc_id"), "text")
+    ).collect()
+    assert len(sig) == 6 and all(r.dup_word_frac > 0 for r in sig)
+
+
 def test_warc_ingestion_end_to_end(spark, tmp_path):
     """WARC files -> pages DataFrame -> extraction pipeline."""
     from readability_php_spark.sources.warc import read_warc_directory, write_warc
