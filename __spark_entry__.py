@@ -369,6 +369,17 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "doc_id")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: docs 0-19 play the benchmark (their text
+    verbatim), so exactly those training docs (plus any true random 8-gram
+    collisions, identical on both engines) must flag as contaminated."""
+    from readability_php_spark.operators.dedup import contamination_flags
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    benchmark = docs.filter(F.col("doc_id") < 20).select("text")
+    return contamination_flags(docs, benchmark, n=8).orderBy("doc_id")
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals; the text is seeded with a
     duplicated line on both engines so dup_line_frac is exercised."""
@@ -579,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "line_dedup": q_line_dedup,
         "repetition_signals": q_repetition_signals,
+        "decontaminate": q_decontaminate,
         "sessions_by_user": q_sessions_by_user,
         "asof_join_events": q_asof_join_events,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1032,6 +1044,34 @@ def oracle_sql() -> dict[str, str]:
                    (prefix // 20000)::BIGINT AS pack_id,
                    n_chars > 20000 AS oversize
             FROM p ORDER BY lang, doc_id
+        """,
+        # decontaminate: same distinct word-8-grams (with the <n guard),
+        # same distinct-hit counting
+        "decontaminate": """
+            WITH grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 8
+                          THEN []::VARCHAR[]
+                          ELSE list_distinct(list_transform(
+                            range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 7 + 1),
+                            i -> array_to_string(list_slice(
+                                   string_split_regex(lower(trim(text)), '\s+'), i, i + 7), ' ')))
+                     END AS gs
+              FROM documents),
+            bench AS (
+              SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id < 20),
+            doc_grams AS (
+              SELECT doc_id, unnest(gs) AS gram FROM grams),
+            hits AS (
+              SELECT doc_id, count(DISTINCT d.gram) AS n_hits
+              FROM doc_grams d JOIN bench b ON d.gram = b.gram
+              GROUP BY doc_id)
+            SELECT g.doc_id,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(h.n_hits, 0) >= 1 AS contaminated
+            FROM (SELECT DISTINCT doc_id FROM grams) g
+            LEFT JOIN hits h USING (doc_id)
+            ORDER BY g.doc_id
         """,
         # repetition_signals: same array/lambda algebra over the same
         # seeded 3-line text (line 1 == line 2)

@@ -446,3 +446,51 @@ def line_dedup(
         F.col("n_lines").cast("long").alias("n_lines"),
         F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
     )
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag training documents that share word ``n``-grams with a benchmark
+    corpus (test-set decontamination — the standard pre-training hygiene
+    step: any doc carrying a benchmark 8-gram leaks evaluation data).
+
+    Returns (id, n_hits, contaminated) for EVERY doc (n_hits = distinct
+    benchmark n-grams present).
+
+    Scale shape: benchmark n-grams are distinct-reduced first (benchmarks
+    are tiny next to the corpus — typically broadcastable, and Spark's AQE
+    will pick the broadcast join automatically); the corpus side explodes
+    to (id, gram) and joins on the gram.  At 10^12 docs, join on
+    ``xxhash64(gram)`` instead of the string to shrink shuffle width —
+    kept as the raw gram here so the DuckDB oracle can replay it."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+        ).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
+    )
+    hits = (
+        doc_grams.join(bench_grams, "gram")
+        .groupBy("id")
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

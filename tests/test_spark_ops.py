@@ -243,6 +243,24 @@ def test_training_prep_end_to_end(spark, tmp_path):
     assert packs.filter(F.col("t") >= 2 * 500 + 1000).count() == 0
 
 
+def test_contamination_flags(spark):
+    from readability_php_spark.operators.dedup import contamination_flags
+
+    phrase = "one two three four five six seven eight"
+    rows = [
+        (1, f"prefix words {phrase} suffix words here"),  # carries the 8-gram
+        (2, "completely different text with no overlap at all whatsoever"),
+        (3, f"{phrase}"),                                  # exactly the 8-gram
+        (4, "one two three four five six seven different"),  # 7-gram only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(f"benchmark q: {phrase}",)], "text string")
+    out = {r.doc_id: r for r in contamination_flags(docs, bench, n=8).collect()}
+    assert out[1].contaminated and out[3].contaminated
+    assert not out[2].contaminated and not out[4].contaminated
+    assert out[3].n_hits == 1
+
+
 def test_line_dedup_semantics(spark):
     from readability_php_spark.operators.dedup import line_dedup
 
