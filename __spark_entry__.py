@@ -369,6 +369,15 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "doc_id")
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF top-5 keywords per doc (6-decimal-rounded scores,
+    term-ascending ties) over the first 100 docs."""
+    from readability_php_spark.operators.text_analysis import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return tfidf_keywords(docs, k=5).orderBy("doc_id", "rank")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: docs 0-19 play the benchmark (their text
     verbatim), so exactly those training docs (plus any true random 8-gram
@@ -591,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "repetition_signals": q_repetition_signals,
         "decontaminate": q_decontaminate,
+        "tfidf_keywords": q_tfidf_keywords,
         "sessions_by_user": q_sessions_by_user,
         "asof_join_events": q_asof_join_events,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1044,6 +1054,29 @@ def oracle_sql() -> dict[str, str]:
                    (prefix // 20000)::BIGINT AS pack_id,
                    n_chars > 20000 AS oversize
             FROM p ORDER BY lang, doc_id
+        """,
+        # tfidf_keywords: same smoothed idf, same round-before-rank
+        "tfidf_keywords": """
+            WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            n AS (SELECT count(*) AS n_docs FROM sub),
+            words AS (
+              SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+              FROM sub),
+            wf AS (SELECT doc_id, term FROM words WHERE term <> ''),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM wf GROUP BY doc_id, term),
+            nw AS (SELECT doc_id, count(*) AS n_words FROM wf GROUP BY doc_id),
+            dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scored AS (
+              SELECT t.doc_id, t.term,
+                     round((t.tf::DOUBLE / nw.n_words)
+                           * (ln((n.n_docs + 1.0) / (dfx.df + 1.0)) + 1.0), 6) AS score
+              FROM tf t JOIN nw USING (doc_id) JOIN dfx USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT *, row_number() OVER
+                (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+              FROM scored)
+            SELECT doc_id, term, score, rank::INT AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
         """,
         # decontaminate: same distinct word-8-grams (with the <n guard),
         # same distinct-hit counting

@@ -194,3 +194,56 @@ def repetition_signals(
         .otherwise(F.lit(0.0))
         .alias("top_bigram_frac"),
     )
+
+
+def tfidf_keywords(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Corpus-TF-IDF keyword extraction: top-``k`` terms per document by
+    ``tf * idf`` with ``idf = ln((N+1)/(df+1)) + 1`` (smoothed).  The
+    corpus-statistics demo op: needs a global document-frequency table, not
+    just per-row algebra.
+
+    Scores are rounded to 6 decimals BEFORE ranking (ln differs in the last
+    ulp across libm implementations; ranking on raw doubles would make the
+    cross-engine top-k unstable), ties broken by term ascending.
+
+    Scale shape: explode → (doc, term) count agg → term-keyed df agg (tiny
+    result, broadcast back) → per-doc window top-k.  All aggregations
+    map-side combine; the df join is on the term string (hash it at
+    vocabulary scale)."""
+    from pyspark.sql.window import Window
+
+    n_docs = documents.count()  # one cheap action; N is a scalar in the plan
+    words = documents.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    n_words = words.groupBy("id").agg(F.count("*").alias("n_words"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(n_words, "id")
+        .join(df_tbl, "term")
+        .select(
+            "id",
+            "term",
+            F.round(
+                (F.col("tf") / F.col("n_words"))
+                * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "term", "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -783,3 +783,19 @@ def test_video_frame_sampling(spark):
         by_media.setdefault(r.media_id, []).append(r.frame_idx)
     for idxs in by_media.values():
         assert sorted(idxs) == list(range(len(idxs)))
+
+
+def test_tfidf_keywords_ranks_distinctive_terms(spark):
+    from readability_php_spark.operators.text_analysis import tfidf_keywords
+
+    rows = [
+        (1, "common common zebra zebra zebra"),
+        (2, "common yak yak"),
+        (3, "common words only common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_keywords(df, k=2).collect()
+    top = {r.doc_id: r.term for r in out if r.rank == 1}
+    # the corpus-rare term must outrank the corpus-common one
+    assert top[1] == "zebra" and top[2] == "yak"
+    assert all(r.score > 0 for r in out)
