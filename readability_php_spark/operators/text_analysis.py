@@ -175,11 +175,25 @@ def repetition_signals(
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     nb = F.size(bigrams)
-    top_bigram = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda x: F.size(F.filter(bigrams, lambda y: y == x)),
-        )
+    # max multiplicity = longest equal run in the SORTED array — O(n log n).
+    # (The first shape tried, count-per-distinct via filter, is O(distinct·n)
+    # per row: ~2.7M element compares on a 2k-word doc, measured 73 s for
+    # 5k docs at sf0.1.  The DuckDB oracle keeps the quadratic form — same
+    # values, and the oracle only ever runs at tiny scale.)
+    top_bigram = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
     return documents.select(
         id_col,
