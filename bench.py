@@ -29,10 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# x60 ≈ 5.3k docs / 1 GB: big enough that the local[32] headline measures
-# the pipeline rather than fixed per-run cost (x12 walls were ~4 s, half of
-# it session/plan/commit overhead)
-REPLICAS = int(os.environ.get("BENCH_REPLICAS", "60"))
+# x120 ≈ 10.7k docs / 2 GB: big enough that the local[32] headline measures
+# the pipeline rather than fixed per-run cost, and the SAME corpus size as
+# the BENCH/BASELINE.md scaling tables — the default-mode headline and the
+# baseline number are directly comparable
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "120"))
 CORPUS_PATH = "/tmp/bench_corpus_parquet"
 OUT_PATH = "/tmp/bench_extract_out"
 
