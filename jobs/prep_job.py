@@ -1,0 +1,65 @@
+"""spark-submit entry point for the composed training-data prep pipeline.
+
+    spark-submit \
+      --py-files $(python -c 'from readability_php_spark.deploy import package_zip_path as p; print(p())') \
+      jobs/prep_job.py \
+      --input  s3://bucket/pages/ \
+      --output s3://bucket/training_set/ \
+      --min-tokens 50 --pack-budget 2048 --train 0.98 --val 0.01 --test 0.01
+
+Chains extract → scrub_pii → exact_dedup → line_dedup → token/quality
+filters → hash_split → pack_documents → split-partitioned parquet
+(see plans/training_pipeline.py for the stage-by-stage scale notes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="training-data prep pipeline")
+    ap.add_argument("--input", required=True, help="pages parquet path/table")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-tokens", type=int, default=20)
+    ap.add_argument("--pack-budget", type=int, default=2048)
+    ap.add_argument("--train", type=float, default=0.9)
+    ap.add_argument("--val", type=float, default=0.05)
+    ap.add_argument("--test", type=float, default=0.05)
+    ap.add_argument("--line-min-count", type=int, default=2)
+    ap.add_argument("--master", default=None, help="local testing only; omit under spark-submit")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from readability_php_spark.plans.training_pipeline import run_training_prep
+
+    builder = SparkSession.builder.appName("training-data-prep")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = builder.getOrCreate()
+
+    pages = spark.read.parquet(args.input)
+    res = run_training_prep(
+        spark,
+        pages,
+        args.output,
+        min_tokens=args.min_tokens,
+        pack_budget=args.pack_budget,
+        fractions={"train": args.train, "val": args.val, "test": args.test},
+        line_min_count=args.line_min_count,
+    )
+    print(
+        f"done: in={res.docs_in} extracted={res.docs_extracted} "
+        f"after_dedup={res.docs_after_dedup} final={res.docs_final} "
+        f"splits={res.split_counts} output={res.output_path}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
