@@ -420,14 +420,18 @@ def test_pipeline_output_partitioned_by_bucket(spark, tmp_path):
     run_extract_job(spark, pages, out_dir, num_buckets=4, config=CFG, waves=4)
     subdirs = {d for d in os.listdir(out_dir) if d.startswith("part_id=")}
     assert subdirs == {f"part_id={b}" for b in range(4)}
-    # partition pruning is visible in the plan of a bucket-subset read
+    # partition pruning: the bucket filter lands in PartitionFilters (scans
+    # only the matching directories), not in post-scan DataFilters
     plan = (
         spark.read.parquet(out_dir)
         .filter(F.col("part_id").isin([1, 2]))
         .select("url")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "part_id" in plan
+    pf_lines = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert pf_lines, plan
+    pf = pf_lines[0].split("PartitionFilters")[1].split("]")[0]
+    assert "part_id" in pf and "IN (1,2)" in pf, pf
 
 
 def test_exact_dedup_keeps_representative(spark):
