@@ -369,6 +369,36 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "doc_id")
 
 
+def q_quality_rollup_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/ingest.py::streaming_quality_rollup — the
+    same windowed (event-hour, lang) quality aggregate over EXTRACTION
+    OUTPUT, on metrics the oracle can compute: whitespace-stripped length
+    is byte-preserved by extraction for the >= MIN_STRIPPED set (the
+    extract_roundtrip gate proves that), so DuckDB reproduces the rollup
+    from the ground-truth text.  warc_ts is constant in the corpus, so both
+    engines synthesize ts = 2024-01-01 + (doc_id %% 48) hours."""
+    out = _extracted(spark, sf_dir, ROUNDTRIP_CONFIG)
+    pages = documents_corpus_df(spark, sf_dir)
+    joined = out.join(pages.select("doc_id", "lang"), "doc_id")
+    stripped_len = F.length(
+        F.regexp_replace(F.col("extracted_text"), r"[\s ]+", "")
+    )
+    ts = F.expr(
+        "timestamp'2024-01-01 00:00:00' "
+        "+ make_interval(0, 0, 0, 0, cast(doc_id % 48 as int), 0, 0)"
+    )
+    return (
+        joined.select("lang", stripped_len.alias("slen"), ts.alias("ts"))
+        .filter(F.col("slen") >= MIN_STRIPPED)
+        .groupBy(F.window("ts", "1 hour").getField("start").alias("hour"), "lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg("slen"), 4).alias("avg_stripped"),
+        )
+        .orderBy("hour", "lang")
+    )
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TF-IDF top-5 keywords per doc (6-decimal-rounded scores,
     term-ascending ties) over the first 100 docs."""
@@ -601,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "decontaminate": q_decontaminate,
         "tfidf_keywords": q_tfidf_keywords,
+        "quality_rollup_by_window": q_quality_rollup_by_window,
         "sessions_by_user": q_sessions_by_user,
         "asof_join_events": q_asof_join_events,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1054,6 +1085,22 @@ def oracle_sql() -> dict[str, str]:
                    (prefix // 20000)::BIGINT AS pack_id,
                    n_chars > 20000 AS oversize
             FROM p ORDER BY lang, doc_id
+        """,
+        # quality_rollup_by_window: stripped length is extraction-invariant
+        # (byte-exact roundtrip above MIN_STRIPPED), so ground-truth text
+        # reproduces the extraction-output rollup
+        "quality_rollup_by_window": f"""
+            WITH base AS (
+              SELECT doc_id, lang,
+                     length(regexp_replace(text, '[\s ]+', '', 'g')) AS slen,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + to_hours(doc_id % 48) AS ts
+              FROM documents)
+            SELECT date_trunc('hour', ts) AS hour, lang,
+                   count(*)::BIGINT AS docs,
+                   round(avg(slen), 4) AS avg_stripped
+            FROM base WHERE slen >= {MIN_STRIPPED}
+            GROUP BY 1, 2 ORDER BY hour, lang
         """,
         # tfidf_keywords: same smoothed idf, same round-before-rank
         "tfidf_keywords": """
