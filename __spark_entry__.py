@@ -369,6 +369,43 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "doc_id")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic keep rates (md5-threshold, no join)."""
+    from readability_php_spark.operators.sampling import hash_sample_by
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.concat(F.lit("http://synth.test/doc/"), F.col("doc_id").cast("string"),
+                 F.lit(".html")).alias("url"),
+    )
+    out = hash_sample_by(
+        docs, {"en": 0.5, "de": 1.0, "fr": 0.1}, group_col="lang",
+        key_col="url", seed=7, default_rate=0.25,
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_blocked_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist curation: hosts rotate over 4 synthetic domains;
+    evil.test and its subdomains must vanish."""
+    from readability_php_spark.operators.urls import filter_blocked_domains
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    host = (
+        F.when(F.col("doc_id") % 4 == 0, "synth.test")
+        .when(F.col("doc_id") % 4 == 1, "evil.test")
+        .when(F.col("doc_id") % 4 == 2, "sub.evil.test")
+        .otherwise("ok.example")
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://"), host, F.lit("/doc/"),
+                 F.col("doc_id").cast("string"), F.lit(".html")).alias("url"),
+    )
+    blocklist = docs.sparkSession.createDataFrame([("evil.test",)], "domain string")
+    return filter_blocked_domains(pages, blocklist).orderBy("doc_id")
+
+
 def q_quality_rollup_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming/ingest.py::streaming_quality_rollup — the
     same windowed (event-hour, lang) quality aggregate over EXTRACTION
@@ -632,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "tfidf_keywords": q_tfidf_keywords,
         "quality_rollup_by_window": q_quality_rollup_by_window,
+        "stratified_sample": q_stratified_sample,
+        "blocked_domains": q_blocked_domains,
         "sessions_by_user": q_sessions_by_user,
         "asof_join_events": q_asof_join_events,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1085,6 +1124,35 @@ def oracle_sql() -> dict[str, str]:
                    (prefix // 20000)::BIGINT AS pack_id,
                    n_chars > 20000 AS oversize
             FROM p ORDER BY lang, doc_id
+        """,
+        # stratified_sample / blocked_domains: same md5 thresholds, same
+        # host-suffix logic
+        "stratified_sample": """
+            WITH d AS (
+              SELECT doc_id, lang,
+                     'http://synth.test/doc/' || doc_id || '.html#7' AS ks
+              FROM documents),
+            h AS (SELECT doc_id, lang, list_reduce(list_transform(range(1, 9), j -> (strpos('0123456789abcdef', substr(md5(ks), j, 1)) - 1)::BIGINT), (a, b) -> a * 16 + b) AS u FROM d)
+            SELECT doc_id, lang FROM h
+            WHERE u < CASE lang WHEN 'en' THEN 2147483648
+                                WHEN 'de' THEN 4294967296
+                                WHEN 'fr' THEN 429496729
+                                ELSE 1073741824 END
+            ORDER BY doc_id
+        """,
+        "blocked_domains": """
+            WITH hosts AS (
+              SELECT doc_id,
+                     CASE doc_id % 4 WHEN 0 THEN 'synth.test'
+                                     WHEN 1 THEN 'evil.test'
+                                     WHEN 2 THEN 'sub.evil.test'
+                                     ELSE 'ok.example' END AS host
+              FROM documents)
+            SELECT doc_id,
+                   'http://' || host || '/doc/' || doc_id || '.html' AS url
+            FROM hosts
+            WHERE host <> 'evil.test' AND NOT host LIKE '%.evil.test'
+            ORDER BY doc_id
         """,
         # quality_rollup_by_window: stripped length is extraction-invariant
         # (byte-exact roundtrip above MIN_STRIPPED), so ground-truth text

@@ -69,3 +69,23 @@ def hash_split(
     for threshold, name in reversed(conds):
         expr = F.when(u < F.lit(threshold), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def hash_sample_by(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str,
+    key_col: str = "url",
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Stratified deterministic sampling: per-group keep rates (e.g. keep
+    100% of low-resource languages, 5% of English).  Same md5-threshold
+    machinery as ``hash_sample`` — membership is a pure function of
+    (key, seed, group rate), so resamples are supersets/subsets when only
+    the rate moves.  The rate table is a literal CASE expression (no join)."""
+    u = hash_uniform(F.col(key_col), seed)
+    expr = F.lit(int(default_rate * _BUCKETS))
+    for g, r in sorted(rates.items()):
+        expr = F.when(F.col(group_col) == g, F.lit(int(r * _BUCKETS))).otherwise(expr)
+    return df.filter(u < expr)

@@ -63,3 +63,28 @@ def url_dedup(pages: DataFrame, url_col: str = "url", id_col: str = "doc_id") ->
         )
         .filter(F.col("n_variants") >= 2)
     )
+
+
+def filter_blocked_domains(
+    pages: DataFrame, blocklist: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop pages whose registrable host appears in a blocklist table
+    (domain-level spam/adult/SEO exclusion — the standard curation step
+    before content-level filters).  Host extraction is pure regex; the
+    blocklist is one column and small next to the corpus, so the anti-join
+    broadcasts (AQE picks it automatically; at very large blocklists the
+    join key is the host string — hash it to shrink shuffle width).
+
+    Matches the host exactly AND by registrable suffix (sub.evil.test is
+    blocked by evil.test)."""
+    host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+    with_host = pages.withColumn("_host", host)
+    bl = blocklist.select(F.lower(F.col("domain")).alias("_bad")).distinct()
+    # suffix match: host == domain OR host endswith '.' + domain
+    joined = with_host.join(
+        F.broadcast(bl),
+        (F.col("_host") == F.col("_bad"))
+        | F.col("_host").endswith(F.concat(F.lit("."), F.col("_bad"))),
+        "left_anti",
+    )
+    return joined.drop("_host")

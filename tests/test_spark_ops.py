@@ -803,3 +803,33 @@ def test_tfidf_keywords_ranks_distinctive_terms(spark):
     # the corpus-rare term must outrank the corpus-common one
     assert top[1] == "zebra" and top[2] == "yak"
     assert all(r.score > 0 for r in out)
+
+
+def test_hash_sample_by_rates(spark):
+    from readability_php_spark.operators.sampling import hash_sample_by
+
+    rows = [(i, "en" if i % 2 == 0 else "de", f"u://{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, url string")
+    out = hash_sample_by(df, {"en": 0.2, "de": 1.0}, group_col="lang")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["de"] == 500           # rate 1.0 keeps everything
+    assert 50 < counts["en"] < 150       # ~20% of 500
+    # determinism
+    assert out.count() == hash_sample_by(
+        df, {"en": 0.2, "de": 1.0}, group_col="lang").count()
+
+
+def test_filter_blocked_domains(spark):
+    from readability_php_spark.operators.urls import filter_blocked_domains
+
+    pages = spark.createDataFrame(
+        [(1, "http://good.test/a"), (2, "http://evil.test/b"),
+         (3, "https://deep.sub.evil.test/c"), (4, "http://notevil.test/d"),
+         (5, "http://EVIL.test/e")],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("evil.test",)], "domain string")
+    kept = {r.doc_id for r in filter_blocked_domains(pages, bl).collect()}
+    # exact host, subdomains, and case-insensitive matches are blocked;
+    # notevil.test is NOT (suffix must be dot-separated)
+    assert kept == {1, 4}
