@@ -22,6 +22,8 @@ md5 is used wherever the DuckDB oracle must reproduce values; xxhash64
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -44,14 +46,19 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """Keep the min-doc_id representative of each fingerprint group."""
+def exact_dedup(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-``id_col`` representative of each fingerprint group.
+    The id may be any orderable unique column — the composed training
+    pipeline keys on ``url`` (globally unique by construction) rather than
+    a 64-bit hash, so a hash collision can never merge distinct docs."""
     w = (
-        documents.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
+        documents.select(id_col, fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
+        .agg(F.min(id_col).alias(id_col))
     )
-    return documents.join(w, "doc_id", "left_semi")
+    return documents.join(w.select(id_col), id_col, "left_semi")
 
 
 # --- shingles / n-grams -------------------------------------------------------
@@ -86,28 +93,40 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard for given candidate (doc_a, doc_b) pairs.
 
-    Joins the raw text first and shingles only the joined rows: the
-    candidate pair list is tiny next to the corpus, so shingling the whole
-    documents table on both join sides (what a pre-projected join does —
-    Spark evaluates the projection for every scanned row) would dominate.
-    A doc appearing in many pairs re-shingles per pair; for the intended
-    use (verifying LSH candidates) pair fan-out per doc is small."""
-    txt = documents.select("doc_id", F.col(text_col).alias("_t"))
+    Shingling happens on the DOCUMENT side, before the pair join, over
+    only the docs that actually appear in a pair: a semi-join against the
+    distinct pair ids prunes the corpus (so the full documents table is
+    never shingled), and projecting the shingle array below the join
+    materializes it once per distinct doc per join side — at the exchange
+    for a sort-merge join, in the build table for a broadcast join, or
+    once per streamed input row under whole-stage codegen.  A doc
+    appearing in thousands of LSH pairs is shingled twice (doc_a side +
+    doc_b side), not once per pair — the previous join-text-then-shingle
+    shape evaluated the shingle expression in the post-join projection,
+    i.e. per PAIR, which went quadratic-ish on high-fan-out docs."""
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        documents.select("doc_id", F.col(text_col).alias("_t"))
+        .join(ids, "doc_id", "left_semi")
+        .select("doc_id", word_shingles(F.col("_t"), n).alias("_sh"))
+    )
     joined = (
         pairs.join(
-            txt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("_t", "_ta"),
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sha")),
             "doc_a",
         ).join(
-            txt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("_t", "_tb"),
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_shb")),
             "doc_b",
         )
     )
     return joined.select(
         "doc_a",
         "doc_b",
-        ngram_jaccard(
-            word_shingles(F.col("_ta"), n), word_shingles(F.col("_tb"), n)
-        ).alias("jaccard"),
+        ngram_jaccard(F.col("_sha"), F.col("_shb")).alias("jaccard"),
     )
 
 
@@ -151,47 +170,51 @@ def connected_components(
         # labels feed three joins per round; materialize the start state
         .localCheckpoint()
     )
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.doc_id)
-            .groupBy("a")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        label_of_label = (
-            labels.alias("l1")
-            .join(labels.alias("l2"), F.col("l1.cluster_id") == F.col("l2.doc_id"))
-            .select(F.col("l1.doc_id").alias("jid"), F.col("l2.cluster_id").alias("jump"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.a, "left")
-            .join(label_of_label, labels.doc_id == label_of_label.jid, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                    F.coalesce(F.col("jump"), F.col("cluster_id")),
-                ).alias("cluster_id"),
+    # try/finally so the non-convergence raise doesn't leak the cached
+    # edge set for the rest of the session
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges.b == labels.doc_id)
+                .groupBy("a")
+                .agg(F.min("cluster_id").alias("nbr_min"))
             )
+            label_of_label = (
+                labels.alias("l1")
+                .join(labels.alias("l2"), F.col("l1.cluster_id") == F.col("l2.doc_id"))
+                .select(F.col("l1.doc_id").alias("jid"), F.col("l2.cluster_id").alias("jump"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.doc_id == neighbor_min.a, "left")
+                .join(label_of_label, labels.doc_id == label_of_label.jid, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                        F.coalesce(F.col("jump"), F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+            )
+            # checkpoint FIRST (eager — truncates the growing lineage so
+            # round N never re-executes rounds 1..N-1), THEN count
+            # convergence over the two materialized label sets: counting
+            # before checkpointing executed every round's plan twice
+            new_labels = new_labels.localCheckpoint()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
         )
-        # checkpoint FIRST (eager — truncates the growing lineage so round
-        # N never re-executes rounds 1..N-1), THEN count convergence over
-        # the two materialized label sets: counting before checkpointing
-        # executed every round's plan twice
-        new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            edges.unpersist()
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iterations} rounds"
-    )
+    finally:
+        edges.unpersist()
 
 
 #: Affine minhash family modulus (2^31 - 1, prime); the empty-set sentinel
@@ -308,6 +331,44 @@ def minhash_lsh_candidates(
     )
 
 
+def fuzzy_dedup(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate removal, composed end-to-end: MinHash-LSH candidate
+    pairs → exact n-gram Jaccard verification (≥ ``threshold``) →
+    connected components over the verified pair graph → keep the
+    min-``id_col`` representative of every cluster.  This is the fuzzy
+    stage every production pretraining prep runs between exact dedup and
+    quality filtering; returns the surviving ``documents`` rows.
+
+    ``id_col`` may be any orderable unique column (the training pipeline
+    passes ``url``); rows never in a verified pair always survive.
+
+    Scale shape: signature pass once per doc (scan-side), bucket-local
+    pair generation, Jaccard only on LSH candidates (pre-shingled once per
+    distinct doc), O(log diameter) clustering rounds, one final anti-join
+    on the id.  Nothing all-pairs; run exact dedup first so byte-identical
+    mega-groups never reach the quadratic-in-bucket pair expansion."""
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    cands = minhash_lsh_candidates(base, "text", num_hashes, bands, shingle_n)
+    verified = ngram_jaccard_pairs(base, cands, "text", shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+    clusters = connected_components(verified.select("doc_a", "doc_b"))
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return documents.join(losers, id_col, "left_anti")
+
+
 # --- SimHash --------------------------------------------------------------------
 
 def simhash64(text_col: str, hash_fn: str = "xxhash64") -> Column:
@@ -399,22 +460,50 @@ def line_dedup(
     id_col: str = "doc_id",
     min_count: int = 2,
     sep: str = "\n",
+    max_lines: int = 200_000,
 ) -> DataFrame:
     """Remove every line that occurs >= ``min_count`` times ACROSS the corpus
     (boilerplate killer: nav bars, cookie banners, footers repeat verbatim on
     thousands of pages — C4/CCNet drop them at the line level before document
-    dedup).  Returns (id, text_clean, n_lines, n_lines_removed).
+    dedup).  Returns (id, text_clean, n_lines, n_lines_removed, line_capped).
 
     Scale shape: explode → one md5-keyed groupBy for global line counts →
     anti-join → one id-keyed groupBy to reassemble.  The count agg map-side
     combines (boilerplate keys collapse per partition); the anti-join keys
     are 32-hex strings, never the line text itself twice.  No all-pairs
     anything; skew on a mega-line (empty string) is bounded because the
-    count table carries one row per distinct line."""
-    lines = docs.select(
+    count table carries one row per distinct line.
+
+    The reassembly collects every surviving line of a doc into one
+    aggregation buffer — bounded by document size, so a pathological
+    multi-GB "document" would OOM the task.  ``max_lines`` guards that:
+    docs with more lines bypass the dedup entirely (text passes through
+    unchanged, ``line_capped=True``) and contribute nothing to the global
+    line counts, keeping both the explode volume and the per-doc buffer
+    bounded by an upstream knob instead of by adversarial input."""
+    # F.split takes a Java regex while array_join (reassembly below) takes
+    # the literal string — escape the split side so a metacharacter sep
+    # ('|', '.') splits on the same boundaries it rejoins on.  Python's
+    # re.escape output is Java-compatible: it only backslashes
+    # non-alphanumerics, and Java regex treats an escaped non-alphabetic
+    # character as that literal character.
+    base = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
-    ).withColumn("lk", F.md5(F.encode(F.trim(F.col("line")), "UTF-8")))
+        F.col(text_col).alias("_t"),
+        F.split(F.col(text_col), re.escape(sep)).alias("_arr"),
+    ).withColumn("_nl", F.size("_arr"))
+    capped = base.filter(F.col("_nl") > max_lines).select(
+        "id",
+        F.col("_t").alias("text_clean"),
+        F.col("_nl").cast("long").alias("n_lines"),
+        F.lit(0).cast("long").alias("n_lines_removed"),
+        F.lit(True).alias("line_capped"),
+    )
+    lines = (
+        base.filter(F.col("_nl") <= max_lines)
+        .select("id", F.posexplode("_arr").alias("pos", "line"))
+        .withColumn("lk", F.md5(F.encode(F.trim(F.col("line")), "UTF-8")))
+    )
     dup_keys = (
         lines.groupBy("lk")
         .count()
@@ -440,12 +529,14 @@ def line_dedup(
             sep,
         ).alias("text_clean"),
     )
-    return rebuilt.select(
-        F.col("id").alias(id_col),
+    rebuilt = rebuilt.select(
+        "id",
         "text_clean",
         F.col("n_lines").cast("long").alias("n_lines"),
         F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
+        F.lit(False).alias("line_capped"),
     )
+    return rebuilt.unionByName(capped).withColumnRenamed("id", id_col)
 
 
 # --- benchmark decontamination ------------------------------------------------
@@ -457,6 +548,7 @@ def contamination_flags(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_hits: int = 1,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Flag training documents that share word ``n``-grams with a benchmark
     corpus (test-set decontamination — the standard pre-training hygiene
@@ -468,22 +560,34 @@ def contamination_flags(
     Scale shape: benchmark n-grams are distinct-reduced first (benchmarks
     are tiny next to the corpus — typically broadcastable, and Spark's AQE
     will pick the broadcast join automatically); the corpus side explodes
-    to (id, gram) and joins on the gram.  At 10^12 docs, join on
-    ``xxhash64(gram)`` instead of the string to shrink shuffle width —
-    kept as the raw gram here so the DuckDB oracle can replay it."""
+    to (id, gram) and joins on ``xxhash64(gram)`` — an 8-byte join key
+    instead of a ~50-byte 8-gram string, which shrinks the exploded
+    corpus-side shuffle ~6× (the dominant cost of decontamination).  A
+    64-bit collision between a corpus gram and a DIFFERENT benchmark gram
+    could over-flag one doc; at benchmark scale (millions of grams, not
+    2^32) that is vanishingly unlikely and strictly conservative (flags,
+    never clears).  ``hash_grams=False`` keeps the raw-string join.
+
+    The DuckDB oracle joins on the raw gram; equality of the two paths is
+    itself collision-evidence."""
+    gram_key = (
+        (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    )
     bench_grams = (
         benchmark.select(
             F.explode(word_shingles(F.col(text_col), n)).alias("gram")
-        ).distinct()
+        )
+        .select(gram_key(F.col("gram")).alias("gk"))
+        .distinct()
     )
     doc_grams = docs.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
-    )
+    ).select("id", gram_key(F.col("gram")).alias("gk"))
     hits = (
-        doc_grams.join(bench_grams, "gram")
+        doc_grams.join(bench_grams, "gk")
         .groupBy("id")
-        .agg(F.count_distinct("gram").alias("n_hits"))
+        .agg(F.count_distinct("gk").alias("n_hits"))
     )
     return (
         docs.select(F.col(id_col).alias("id"))

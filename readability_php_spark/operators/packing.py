@@ -55,6 +55,42 @@ def pack_documents(
     )
 
 
+def pack_documents_bucketed(
+    docs: DataFrame,
+    budget: int,
+    buckets: int = 64,
+    group_cols: tuple[str, ...] = ("lang",),
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """The hierarchical deployment pattern of ``pack_documents``, as code:
+    hash-bucket each group's documents and pack within ``(group, bucket)``,
+    so a sequence id is the ``(bucket, pack_id)`` pair.  A single global
+    window per group serializes that group through one task at 10^12 docs;
+    bucketing bounds every window partition at ~1/``buckets`` of the group
+    while keeping determinism (the bucket is a content hash of the order
+    key, not a partition-dependent id).
+
+    ``bucket_col`` overrides the default ``pmod(xxhash64(order_col))``
+    bucketing with a caller-computed column — used by the oracle gate,
+    where the bucket function must be replayable outside Spark."""
+    if bucket_col is None:
+        docs = docs.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col(order_col)), F.lit(buckets)).cast("int"),
+        )
+    elif bucket_col != "bucket":
+        docs = docs.withColumn("bucket", F.col(bucket_col))
+    return pack_documents(
+        docs,
+        budget,
+        group_cols=(*group_cols, "bucket"),
+        order_col=order_col,
+        tokens_col=tokens_col,
+    )
+
+
 def pack_stats(packed: DataFrame, budget: int,
                group_cols: tuple[str, ...] = ("lang",)) -> DataFrame:
     """Per-pack fill metrics: tokens, docs, fill ratio (how much of the

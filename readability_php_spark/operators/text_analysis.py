@@ -225,29 +225,36 @@ def tfidf_keywords(
     ulp across libm implementations; ranking on raw doubles would make the
     cross-engine top-k unstable), ties broken by term ascending.
 
-    Scale shape: explode → (doc, term) count agg → term-keyed df agg (tiny
-    result, broadcast back) → per-doc window top-k.  All aggregations
-    map-side combine; the df join is on the term string (hash it at
-    vocabulary scale)."""
+    Scale shape: explode → (doc, term) count agg → df agg keyed on
+    ``xxhash64(term)`` (8-byte keys, not vocabulary strings — at web-corpus
+    vocabulary scale the df join shuffles hashes; a 64-bit collision merges
+    two terms' df counts, odds ~N²/2^65, and the DuckDB oracle joining on
+    the raw string evidences the absence) → per-doc window top-k.  N (the
+    corpus document count) rides in as a broadcast 1-row aggregate instead
+    of a separate ``count()`` action, so non-parquet sources are scanned
+    once, by one job.  All aggregations map-side combine."""
     from pyspark.sql.window import Window
 
-    n_docs = documents.count()  # one cheap action; N is a scalar in the plan
+    n_docs_df = documents.agg(F.count("*").cast("double").alias("_n_docs"))
     words = documents.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
     ).filter(F.col("term") != "")
-    tf = words.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    tf = words.groupBy("id", "term").agg(F.count("*").alias("tf")).withColumn(
+        "tk", F.xxhash64("term")
+    )
     n_words = words.groupBy("id").agg(F.count("*").alias("n_words"))
-    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    df_tbl = tf.groupBy("tk").agg(F.count("*").alias("df"))
     scored = (
         tf.join(n_words, "id")
-        .join(df_tbl, "term")
+        .join(df_tbl, "tk")
+        .crossJoin(F.broadcast(n_docs_df))
         .select(
             "id",
             "term",
             F.round(
                 (F.col("tf") / F.col("n_words"))
-                * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                * (F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
                 6,
             ).alias("score"),
         )

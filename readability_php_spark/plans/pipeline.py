@@ -89,14 +89,28 @@ def _try_read_parquet(spark: SparkSession, path: str) -> Optional[DataFrame]:
     """Filesystem-agnostic existence probe + read.  ``os.path.exists`` is
     driver-local — always False for hdfs://, s3a://, etc. — which would make
     resume dedup silently never engage on a real cluster.  Letting the scan
-    itself fail (AnalysisException: path does not exist) works on any
-    Hadoop-compatible filesystem."""
+    itself fail (AnalysisException: PATH_NOT_FOUND) works on any
+    Hadoop-compatible filesystem.
+
+    ONLY the path-missing condition maps to None ("no committed output
+    yet").  Every other failure — credential errors, corrupt footers, a
+    transient store throttle surfacing as an analysis error — re-raises:
+    swallowing it would silently disable the committed-rows anti-join on a
+    resume run and the rerun would append duplicate rows, breaking the
+    exactly-once guarantee this module documents."""
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.parquet(path)
         df.schema  # force resolution so a missing path fails here
         return df
-    except Exception:
-        return None
+    except AnalysisException as e:
+        get_cond = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", lambda: None
+        )
+        if (get_cond() or "") == "PATH_NOT_FOUND":
+            return None
+        raise
 
 
 def read_manifest(spark: SparkSession, manifest_path: str) -> Optional[DataFrame]:

@@ -4,26 +4,38 @@ deduped, scrubbed, split training text.
 This is the end-to-end shape a pretraining data team actually runs, built
 entirely from this repo's operators:
 
-    pages (url, html, ...)
+    pages (url, html[, lang], ...)
       └─ extract_operator          # Arrow-batched kernel, error column
       └─ filter(error IS NULL)
       └─ scrub_pii                 # email/IPv4 redaction (JVM regex)
-      └─ exact_dedup               # md5-fingerprint keep-lowest-id
+      └─ exact_dedup               # md5-fingerprint keep-lowest-url
+      └─ fuzzy_dedup               # MinHash-LSH → Jaccard verify →
+      │                            #   connected components → keep-min-url
       └─ line_dedup                # cross-corpus boilerplate lines
-      └─ quality + length filters  # token count / quality score / repetition
+      └─ quality + length filters  # token count / quality score
       └─ hash_split                # deterministic train/val/test
-      └─ pack_documents            # token-budget sequence packing
+      └─ pack_documents            # token-budget packing per (split, lang)
       └─ write partitionBy(split)
 
 Every stage is deterministic (content-keyed hashes, no rand()), so the
 whole pipeline is re-runnable and auditable: the same corpus always yields
 the same training set, regardless of cluster size or partitioning.
 
+**Keying**: every join, dedup keeper choice, and packing order uses the
+``url`` itself — globally unique by construction.  ``doc_id =
+xxhash64(url)`` is emitted as a *convenience column only*: a 64-bit hash
+key collides with ~4B docs in flight (birthday bound), and a collision
+used as a join/window key would silently cross-join distinct documents or
+make the packing prefix-sum nondeterministic.  The url never is.
+
 Scale notes: stages 1-3 are narrow maps over the scan; exact_dedup is one
-32-byte-key aggregate; line_dedup is one md5-key aggregate + reassembly;
-split is a map; packing is one window per (split, lang); the final write
-shuffles on split for compact output.  Nothing here is quadratic and no
-stage moves the raw HTML after extraction.
+32-byte-key aggregate; fuzzy_dedup is signature-scan + bucket-local pairs +
+O(log diameter) clustering (see operators/dedup.py); line_dedup is one
+md5-key aggregate + reassembly; split is a map; packing is one window per
+(split, lang) — and per (split, lang, bucket) via
+``pack_documents_bucketed`` when one language dominates the corpus; the
+final write shuffles on split for compact output.  Nothing here is
+quadratic and no stage moves the raw HTML after extraction.
 """
 
 from __future__ import annotations
@@ -35,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import Configuration
-from ..operators.dedup import exact_dedup, line_dedup
+from ..operators.dedup import exact_dedup, fuzzy_dedup, line_dedup
 from ..operators.extract import extract_operator
 from ..operators.packing import pack_documents
 from ..operators.sampling import hash_split
@@ -64,45 +76,69 @@ def run_training_prep(
     pack_budget: int = 2048,
     fractions: Optional[dict] = None,
     line_min_count: int = 2,
+    fuzzy: bool = True,
+    fuzzy_threshold: float = 0.8,
+    fuzzy_num_hashes: int = 16,
+    fuzzy_bands: int = 4,
 ) -> PrepResult:
     """pages(url, html[, lang]) → packed training rows at ``output_path``
-    (parquet, partitioned by split), plus conservation metrics."""
+    (parquet, partitioned by split), plus conservation metrics.
+
+    ``fuzzy=False`` skips the near-duplicate stage (MinHash-LSH → n-gram
+    Jaccard ≥ ``fuzzy_threshold`` → connected components → keep the
+    lexicographically-smallest url per cluster) for corpora already
+    fuzzy-deduped upstream."""
     tune_session_for_extraction(spark)
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
     docs_in = pages.count()
 
+    has_lang = "lang" in pages.columns
     extracted = extract_operator(
-        pages, config or Configuration(substitute_entities=True)
-    ).filter(F.col("error").isNull()).select("url", "extracted_text")
-    # id = content-stable hash of the url (packing/split need a sortable id)
+        pages,
+        config or Configuration(substitute_entities=True),
+        carry=("lang",) if has_lang else (),
+    ).filter(F.col("error").isNull())
     docs = extracted.select(
-        F.xxhash64("url").alias("doc_id"), "url",
+        "url",
         F.col("extracted_text").alias("text"),
+        (F.col("lang") if has_lang else F.lit("und")).alias("lang"),
     )
     docs = docs.persist()
     docs_extracted = docs.count()
 
     scrubbed = scrub_pii(docs, text_col="text", out_col="text_s").select(
-        "doc_id", "url", F.col("text_s").alias("text")
+        "url", F.col("text_s").alias("text"), "lang"
     )
-    # exact dedup BEFORE line dedup: identical docs must collapse to one
-    # kept copy, not have all their (shared) lines deleted from each other
-    unique_docs = exact_dedup(scrubbed)
+    # exact dedup BEFORE line/fuzzy dedup: identical docs must collapse to
+    # one kept copy first — both so shared lines aren't deleted from every
+    # copy, and so byte-identical mega-groups never reach the LSH buckets'
+    # quadratic-in-bucket pair expansion
+    unique_docs = exact_dedup(scrubbed, id_col="url")
+    if fuzzy:
+        unique_docs = fuzzy_dedup(
+            unique_docs,
+            id_col="url",
+            num_hashes=fuzzy_num_hashes,
+            bands=fuzzy_bands,
+            threshold=fuzzy_threshold,
+        )
     cleaned = line_dedup(
-        unique_docs, text_col="text", min_count=line_min_count
-    ).join(unique_docs.select("doc_id", "url"), "doc_id")
+        unique_docs, text_col="text", id_col="url", min_count=line_min_count
+    ).join(unique_docs.select("url", "lang"), "url")
     docs_after_dedup = cleaned.count()
 
     with_tokens = cleaned.select(
-        "doc_id", "url", F.col("text_clean").alias("text"),
+        "url", "lang", F.col("text_clean").alias("text"),
         token_count(F.col("text_clean")).alias("n_tokens"),
     ).filter(F.col("n_tokens") >= min_tokens)
 
     split = hash_split(with_tokens, fractions, key_col="url")
     packed = pack_documents(
-        split, budget=pack_budget, group_cols=("split",),
-        order_col="doc_id", tokens_col="n_tokens",
-    ).join(split.select("doc_id", "url", "text"), "doc_id")
+        split, budget=pack_budget, group_cols=("split", "lang"),
+        order_col="url", tokens_col="n_tokens",
+    ).join(split.select("url", "text"), "url")
+    # doc_id: sortable convenience for downstream consumers, NOT a key
+    packed = packed.withColumn("doc_id", F.xxhash64("url"))
 
     packed.repartition("split").write.mode("overwrite").partitionBy(
         "split"

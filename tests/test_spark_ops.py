@@ -218,7 +218,8 @@ def test_connected_components_matches_union_find(spark):
 
 def test_training_prep_end_to_end(spark, tmp_path):
     """The composed prep pipeline on the sf0.001 corpus (+ planted exact
-    duplicates): conservation, dedup, split partitioning, PII-free output."""
+    duplicates AND a planted near-duplicate): conservation, exact + fuzzy
+    dedup, split partitioning, PII-free output."""
     from readability_php_spark.plans.training_pipeline import run_training_prep
 
     pages = documents_corpus_df(spark, SF).filter(F.col("doc_id") < 120).select(
@@ -227,20 +228,77 @@ def test_training_prep_end_to_end(spark, tmp_path):
     dupes = pages.filter(F.col("url").endswith("/doc/5.html") | F.col("url").endswith("/doc/7.html")) \
         .withColumn("url", F.concat(F.col("url"), F.lit("?copy=1")))
     # note: ?copy urls canonicalize differently, so these are exact-TEXT dups
+    # near-dup: doc 21's page with a few extra words injected INSIDE the
+    # article body — survives exact dedup (text differs) and must be
+    # collapsed by the fuzzy stage (89 words → jaccard ≈ 0.93)
+    near = (
+        pages.filter(F.col("url").endswith("/doc/21.html"))
+        .withColumn("url", F.concat(F.col("url"), F.lit("?near=1")))
+        .withColumn(
+            "html",
+            F.encode(
+                F.regexp_replace(
+                    F.decode(F.col("html"), "UTF-8"),
+                    "</p></div></div>",
+                    " extra appended words for the near dup</p></div></div>",
+                ),
+                "UTF-8",
+            ),
+        )
+    )
     out_dir = str(tmp_path / "prep_out")
     res = run_training_prep(
-        spark, pages.unionByName(dupes), out_dir, min_tokens=10, pack_budget=500
+        spark, pages.unionByName(dupes).unionByName(near), out_dir,
+        min_tokens=10, pack_budget=500,
     )
-    assert res.docs_in == 122 and res.docs_extracted == 122
-    assert res.docs_after_dedup == 120  # the two planted text-dups collapsed
+    assert res.docs_in == 123 and res.docs_extracted == 123
+    # two planted text-dups + one planted near-dup collapsed, PLUS the
+    # corpus's own natural near-dups (the synthetic generator emits e.g.
+    # {0,50,82} with pairwise jaccard ≥ 0.9): deterministic content-keyed
+    # pipeline → a stable count
+    assert res.docs_after_dedup == 118
     assert res.docs_final > 0 and set(res.split_counts) <= {"train", "val", "test"}
     out = spark.read.parquet(out_dir)
     assert {d for d in os.listdir(out_dir) if d.startswith("split=")}
+    # the kept representative of the near-dup cluster is the min url
+    # (doc/21.html sorts before doc/21.html?near=1)
+    kept_21 = [r.url for r in out.filter(F.col("url").contains("/doc/21.html")).collect()]
+    assert kept_21 == [] or all("?near=" not in u for u in kept_21)
     # no unredacted PII survives (none present in synth corpus, but the
     # scrubbed column must exist and packs must respect the budget shape)
     assert out.filter(F.col("n_tokens") < 10).count() == 0
-    packs = out.groupBy("split", "pack_id").agg(F.sum("n_tokens").alias("t"))
+    packs = out.groupBy("split", "lang", "pack_id").agg(F.sum("n_tokens").alias("t"))
     assert packs.filter(F.col("t") >= 2 * 500 + 1000).count() == 0
+
+
+def test_training_prep_fuzzy_off(spark, tmp_path):
+    """fuzzy=False keeps a planted near-duplicate (knob contract)."""
+    from readability_php_spark.plans.training_pipeline import run_training_prep
+
+    pages = documents_corpus_df(spark, SF).filter(F.col("doc_id") < 30).select(
+        "url", "html"
+    )
+    near = (
+        pages.filter(F.col("url").endswith("/doc/21.html"))
+        .withColumn("url", F.concat(F.col("url"), F.lit("?near=1")))
+        .withColumn(
+            "html",
+            F.encode(
+                F.regexp_replace(
+                    F.decode(F.col("html"), "UTF-8"),
+                    "</p></div></div>",
+                    " extra appended words for the near dup</p></div></div>",
+                ),
+                "UTF-8",
+            ),
+        )
+    )
+    out_dir = str(tmp_path / "prep_out_nofuzzy")
+    res = run_training_prep(
+        spark, pages.unionByName(near), out_dir,
+        min_tokens=10, pack_budget=500, fuzzy=False,
+    )
+    assert res.docs_after_dedup == 31  # near-dup NOT collapsed
 
 
 def test_contamination_flags(spark):
@@ -704,6 +762,121 @@ def test_connected_components_transitive(spark):
     got = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+
+
+def test_try_read_parquet_missing_vs_corrupt(spark, tmp_path):
+    """Only PATH_NOT_FOUND maps to 'no committed output yet'; any other
+    read failure must re-raise — swallowing it would silently disable the
+    resume anti-join and duplicate rows on rerun."""
+    from readability_php_spark.plans.pipeline import _try_read_parquet
+
+    assert _try_read_parquet(spark, str(tmp_path / "nope")) is None
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"definitely not a parquet footer")
+    with pytest.raises(Exception):
+        _try_read_parquet(spark, str(bad))
+
+
+def test_pack_documents_bucketed_invariants(spark):
+    """Hierarchical packing: every doc gets exactly one (bucket, pack_id);
+    within each (lang, bucket) the prefix-sum // budget law holds in doc
+    order — i.e. each bucket is an independent pack_documents."""
+    import collections
+
+    from readability_php_spark.operators.packing import pack_documents_bucketed
+
+    docs = spark.createDataFrame(
+        [(i, "en", 100 + (i % 37)) for i in range(200)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    rows = pack_documents_bucketed(docs, budget=500, buckets=8).collect()
+    assert len(rows) == 200
+    by_gb = collections.defaultdict(list)
+    for r in rows:
+        by_gb[(r.lang, r.bucket)].append(r)
+    assert len(by_gb) == 8  # 200 hashed docs hit all 8 buckets
+    for grp in by_gb.values():
+        grp.sort(key=lambda r: r.doc_id)
+        prefix = 0
+        for r in grp:
+            assert r.pack_id == prefix // 500 and not r.oversize
+            prefix += r.n_tokens
+
+
+def test_fuzzy_dedup_transitive_collapse(spark):
+    """A ~ B ~ C near-dups collapse to the single min-id keeper even when
+    (A, C) never collide directly; unrelated docs survive untouched."""
+    from readability_php_spark.operators.dedup import fuzzy_dedup
+
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, base),
+        (2, base + " extra2"),            # ~A
+        (3, base + " extra2 extra3"),     # ~B, slightly further from A
+        (9, " ".join(f"z{i}" for i in range(60))),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in fuzzy_dedup(docs, threshold=0.8).collect())
+    assert kept == [1, 9]
+    # string ids work too (the training pipeline keys on url)
+    sdocs = docs.select(F.concat(F.lit("u"), F.col("doc_id")).alias("url"), "text")
+    kept_s = sorted(r.url for r in fuzzy_dedup(sdocs, id_col="url").collect())
+    assert kept_s == ["u1", "u9"]
+
+
+def test_line_dedup_cap_pathological_doc(spark):
+    """A pathological huge-line-count doc bypasses the reassembly buffer:
+    passes through unchanged with line_capped=True, and its lines don't
+    poison the global counts."""
+    from readability_php_spark.operators.dedup import line_dedup
+
+    monster = "\n".join(f"line {i % 7}" for i in range(1_000_000))
+    rows = [(1, "boiler\nalpha"), (2, "boiler\nbeta"), (3, monster)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df, min_count=2, max_lines=10_000).collect()}
+    assert out[3].line_capped and out[3].text_clean == monster
+    assert out[3].n_lines == 1_000_000 and out[3].n_lines_removed == 0
+    assert out[1].text_clean == "alpha" and not out[1].line_capped
+    assert out[2].text_clean == "beta"
+
+
+def test_line_dedup_regex_metachar_sep(spark):
+    """A separator that is a regex metacharacter must split and rejoin on
+    the same boundaries (split side is escaped)."""
+    from readability_php_spark.operators.dedup import line_dedup
+
+    rows = [(1, "boiler|alpha"), (2, "boiler|beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df, min_count=2, sep="|").collect()}
+    assert out[1].text_clean == "alpha" and out[1].n_lines == 2
+    assert out[2].text_clean == "beta"
+
+
+def test_ngram_jaccard_pairs_preshingles_once(spark):
+    """A doc appearing in many pairs is shingled per distinct doc (per join
+    side), not per pair: the shingle expressions (slice/transform over the
+    word array) must sit BELOW the pair join in the optimized plan — the
+    old join-text-then-shingle shape evaluated them in the post-join
+    projection, once per PAIR.  Tree printout is top-down, so everything
+    printed before the first Join line is above it."""
+    import itertools
+
+    from readability_php_spark.operators.dedup import ngram_jaccard_pairs
+
+    big = " ".join(f"tok{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(i, big + f" tail{i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        list(itertools.combinations(range(10), 2)), "doc_a long, doc_b long"
+    )
+    out_df = ngram_jaccard_pairs(docs, pairs)
+    plan = out_df._jdf.queryExecution().optimizedPlan().toString()
+    above_join = plan.split("Join", 1)[0]
+    assert "slice(" not in above_join, "shingles computed above the pair join"
+    out = out_df.collect()
+    assert len(out) == 45 and all(r.jaccard > 0.97 for r in out)
 
 
 def test_canonical_url_cases(spark):
