@@ -303,6 +303,72 @@ def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_prep_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed dedup chain of run_training_prep (exact fingerprint
+    dedup → MinHash-LSH candidates → n-gram-Jaccard verification →
+    connected components → keep the min-id representative): planted exact
+    dups must die in stage 1, planted near-dups (text + a few extra
+    tokens) and the corpus's own natural near-dup clusters must collapse
+    to one keeper in the fuzzy stage.  The oracle replays every stage —
+    md5 fingerprints, the affine minhash family, band hashes, rounded
+    Jaccard, and a recursive-CTE connected components."""
+    from readability_php_spark.operators.dedup import fuzzy_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 150
+    )
+    near = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra near dup token")).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(near).unionByName(exact)
+    kept = fuzzy_dedup(
+        exact_dedup(corpus), num_hashes=8, bands=2, threshold=0.8
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+def q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source gate: documents → WET shards (WARC conversion records,
+    half of them gzipped) on local disk → ``read_wet_directory`` (one task
+    per archive) → per-record projection.  The oracle computes the same
+    rows straight off the documents table, so a hash match proves the
+    WARC-container writer/reader round-trips every record: url, timestamp,
+    and utf-8 text byte-faithfully (md5), through both the plain and the
+    gzip path."""
+    import tempfile
+
+    from readability_php_spark.sources.warc import read_wet_directory, write_wet
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 300
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wdir = os.path.join(tempfile.gettempdir(), f"wet_gate_{tag}")
+    marker = os.path.join(wdir, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(wdir, exist_ok=True)
+        shards: dict[int, list] = {i: [] for i in range(4)}
+        for r in docs.collect():  # fixture construction, 300 rows, one-time
+            shards[r.doc_id % 4].append(
+                (f"http://synth.test/doc/{r.doc_id}.html",
+                 "2024-03-01T00:00:00Z", r.text)
+            )
+        for i, batch in shards.items():
+            name = f"shard-{i}.wet" + (".gz" if i % 2 else "")
+            write_wet(os.path.join(wdir, name), batch, compress=bool(i % 2))
+        open(marker, "w").close()
+    pages = read_wet_directory(spark, wdir)
+    return pages.select(
+        F.regexp_extract("url", r"/doc/(\d+)\.html", 1).cast("long").alias("doc_id"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+        F.col("warc_ts").cast("timestamp").alias("warc_ts"),
+    ).orderBy("doc_id")
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window counts (the batch shape of the streaming rollup)."""
     events = load_table(spark, sf_dir, "events")
@@ -367,6 +433,22 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(
         docs, budget=20_000, group_cols=("lang",), tokens_col="n_chars"
     ).orderBy("lang", "doc_id")
+
+
+def q_pack_documents_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical packing (window key = (group, bucket)) — the shape that
+    keeps any single language from serializing through one window task at
+    10^12 docs.  The gate precomputes a DuckDB-replayable bucket (doc_id %
+    8); production uses the default xxhash64 content bucketing."""
+    from readability_php_spark.operators.packing import pack_documents_bucketed
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    ).withColumn("bucket", (F.col("doc_id") % 8).cast("int"))
+    return pack_documents_bucketed(
+        docs, budget=20_000, buckets=8, group_cols=("lang",),
+        tokens_col="n_chars", bucket_col="bucket",
+    ).orderBy("lang", "bucket", "doc_id")
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -658,11 +740,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "training_filter": q_training_filter,
+        "training_prep_fuzzy": q_training_prep_fuzzy,
+        "wet_ingest": q_wet_ingest,
         "events_hourly": q_events_hourly,
         "rollup_stats": q_rollup_stats,
         "median_chars_by_lang": q_median_chars_by_lang,
         "hash_split": q_hash_split,
         "pack_documents": q_pack_documents,
+        "pack_documents_bucketed": q_pack_documents_bucketed,
         "scrub_pii": q_scrub_pii,
         "line_dedup": q_line_dedup,
         "repetition_signals": q_repetition_signals,
@@ -1078,6 +1163,70 @@ def oracle_sql() -> dict[str, str]:
               AND ({{lang_pred}}) = lang
             ORDER BY doc_id
         """.format(quality=quality, lang_pred=lang_pred),
+        # training_prep_fuzzy: full replay of the composed dedup chain —
+        # exact (md5 fingerprint keep-min) → minhash bands (8 hashes, 2
+        # bands) → band-bucket candidate pairs → Jaccard ≥ 0.8 (rounded to
+        # 4, same single IEEE division) → recursive-CTE connected
+        # components → keep cluster minimum + all unpaired docs
+        "training_prep_fuzzy": f"""
+            WITH RECURSIVE
+            corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 150
+              UNION ALL
+              SELECT doc_id + 1000000, text || ' extra near dup token'
+              FROM documents WHERE doc_id < 50
+              UNION ALL
+              SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 50),
+            uniq AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY {_FP} ORDER BY doc_id) AS rn
+                FROM corpus) WHERE rn = 1),
+            sh AS (SELECT doc_id, {_shingle_sql()} AS sh FROM uniq),
+            sig AS (SELECT doc_id, {_minhash_sql(8)} AS sig FROM sh),
+            bands AS (
+              SELECT doc_id, unnest(range(0, 2)) AS band, sig FROM sig),
+            bb AS (
+              SELECT doc_id, band,
+                     md5(array_to_string(list_slice(sig, band*4 + 1, band*4 + 4), '|')) AS band_hash
+              FROM bands),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bb a JOIN bb b
+                ON a.band = b.band AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id),
+            verified AS (
+              SELECT c.doc_a, c.doc_b
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b
+              WHERE round(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                    THEN len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(a.sh || b.sh))
+                    ELSE 0.0 END, 4) >= 0.8),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM verified
+              UNION ALL SELECT doc_b, doc_a FROM verified),
+            reach(node, label) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node),
+            clusters AS (
+              SELECT node AS doc_id, min(label) AS cluster_id
+              FROM reach GROUP BY node)
+            SELECT u.doc_id FROM uniq u LEFT JOIN clusters c USING (doc_id)
+            WHERE c.doc_id IS NULL OR c.cluster_id = u.doc_id
+            ORDER BY u.doc_id
+        """,
+        # wet_ingest: the Spark side writes documents out as WET shards and
+        # reads them back through sources/warc.py; DuckDB reads the table
+        # directly — equality proves the container round-trip is faithful
+        "wet_ingest": """
+            SELECT doc_id,
+                   md5(text) AS text_md5,
+                   TIMESTAMP '2024-03-01 00:00:00' AS warc_ts
+            FROM documents WHERE doc_id < 300 ORDER BY doc_id
+        """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS value_sum
@@ -1124,6 +1273,19 @@ def oracle_sql() -> dict[str, str]:
                    (prefix // 20000)::BIGINT AS pack_id,
                    n_chars > 20000 AS oversize
             FROM p ORDER BY lang, doc_id
+        """,
+        # hierarchical packing: same prefix-sum law per (lang, bucket)
+        "pack_documents_bucketed": """
+            WITH p AS (
+              SELECT lang, (doc_id % 8)::INT AS bucket, doc_id, n_chars,
+                     sum(n_chars) OVER (PARTITION BY lang, doc_id % 8
+                                        ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_chars AS prefix
+              FROM documents)
+            SELECT lang, bucket, doc_id, n_chars,
+                   (prefix // 20000)::BIGINT AS pack_id,
+                   n_chars > 20000 AS oversize
+            FROM p ORDER BY lang, bucket, doc_id
         """,
         # stratified_sample / blocked_domains: same md5 thresholds, same
         # host-suffix logic
