@@ -1,10 +1,12 @@
 """Multimodal column operators (image/audio/video as opaque binary).
 
 The Spark-side plumbing is real and tested — schemas, partitioning, Arrow
-batch shapes, ``mapInPandas`` signatures.  The *codec* step is stubbed:
-this container ships no image/audio libraries, so ``decode_image`` raises
-``NotImplementedError`` unless a deterministic fake is requested.  Swapping
-the stub for PIL/ffmpeg is a one-function change; everything around it
+batch shapes, ``mapInPandas`` signatures.  PNG — the dominant lossless web
+format — decodes for REAL via a stdlib-only decoder (``decode_png``: chunk
+walk, zlib inflate, scanline unfilter).  JPEG/audio/video codecs need
+libraries this container doesn't ship, so those paths raise
+``NotImplementedError`` unless a deterministic fake is requested; swapping
+them for PIL/ffmpeg is a one-function change and everything around them
 (batching, schema, metadata propagation) is production-shaped.
 
 Pattern (north rule §multimodal): binary payload column + typed metadata
@@ -15,6 +17,7 @@ size-bounded batches, exactly like the HTML extractor.
 from __future__ import annotations
 
 import hashlib
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -62,13 +65,105 @@ def synthetic_media_df(spark, documents: DataFrame) -> DataFrame:
     )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type → samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Real PNG decode with nothing but the stdlib: chunk walk → IHDR
+    parse → concatenated-IDAT ``zlib`` inflate → per-scanline unfilter
+    (all five filter types).  Supports the web-dominant shapes — 8-bit
+    grayscale / gray+alpha / RGB / RGBA, non-interlaced — and raises
+    ``ValueError`` on anything else (palette, 16-bit, Adam7).  Returns
+    ``(width, height, raw_pixels)`` where raw_pixels is the unfiltered
+    scanline data (height × width × channels bytes, row-major)."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            if length < 13:
+                raise ValueError("truncated IHDR")
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, _comp, _filt, interlace = data[8:13]
+            if bit_depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+            channels = _PNG_CHANNELS[color_type]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None:
+        raise ValueError("no IHDR chunk")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    bpp = channels  # bytes per pixel at depth 8
+    out = bytearray(height * stride)
+    prev_start = -1
+    for y in range(height):
+        fbyte = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if fbyte == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif fbyte == 2:  # Up
+            if prev_start >= 0:
+                for i in range(stride):
+                    line[i] = (line[i] + out[prev_start + i]) & 0xFF
+        elif fbyte == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                up = out[prev_start + i] if prev_start >= 0 else 0
+                line[i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif fbyte == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                up = out[prev_start + i] if prev_start >= 0 else 0
+                ul = out[prev_start + i - bpp] if (prev_start >= 0 and i >= bpp) else 0
+                line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        elif fbyte != 0:
+            raise ValueError(f"bad PNG filter byte {fbyte}")
+        start = y * stride
+        out[start : start + stride] = line
+        prev_start = start
+    return width, height, bytes(out)
+
+
 def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int, bytes]:
-    """STUB — real decode needs an image library not present in this
-    container.  ``fake=True`` returns a deterministic pseudo-decode
-    (dimensions derived from the byte length) for plumbing tests."""
+    """PNG payloads decode for REAL (stdlib-only — see ``decode_png``);
+    other formats need an image library this container doesn't ship, so
+    they raise ``NotImplementedError`` unless ``fake=True`` requests the
+    deterministic pseudo-decode (dimensions derived from byte length) that
+    the plumbing tests and the synthetic-corpus oracle use."""
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
     if not fake:
         raise NotImplementedError(
-            "image decode requires PIL/libvips; not available in this environment"
+            "non-PNG image decode requires PIL/libvips; not available in this environment"
         )
     n = len(payload)
     width = (n % 640) + 16
@@ -158,6 +253,8 @@ def extract_media_features(media: DataFrame, *, fake_decode: bool = True) -> Dat
                         width, height, _ = decode_image(raw, fake=fake_decode)
                 except NotImplementedError:
                     err = "decoder_unavailable"
+                except ValueError as e:
+                    err = f"decode_error: {e}"
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 out["n_bytes"].append(len(raw))

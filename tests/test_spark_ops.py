@@ -764,6 +764,114 @@ def test_connected_components_transitive(spark):
                    20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
 
 
+def _make_png(width, height, pixels, color_type, filters):
+    """Minimal PNG encoder (test-side twin of decode_png): applies the
+    given per-row filter types forward so the decoder must invert them."""
+    import struct
+    import zlib as _zlib
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * channels
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for i in range(stride):
+            left = line[i - channels] if i >= channels else 0
+            up = prev[i]
+            ul = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = line[i] - left
+            elif f == 2:
+                v = line[i] - up
+            elif f == 3:
+                v = line[i] - ((left + up) >> 1)
+            else:
+                v = line[i] - paeth(left, up, ul)
+            raw.append(v & 0xFF)
+        prev = line
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", _zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_all_filters_exact():
+    """Real stdlib PNG decode: exact width/height/pixels back through every
+    filter type, for RGB, RGBA, and grayscale."""
+    from readability_php_spark.operators.multimodal import decode_png
+
+    for color_type, channels in [(2, 3), (6, 4), (0, 1)]:
+        w, h = 7, 10
+        pixels = bytes(
+            (x * 31 + y * 57 + c * 11) & 0xFF
+            for y in range(h) for x in range(w) for c in range(channels)
+        )
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            png = _make_png(w, h, pixels, color_type, filters)
+            gw, gh, got = decode_png(png)
+            assert (gw, gh) == (w, h)
+            assert got == pixels, (color_type, filters)
+    # pixel stats are real, not length-derived
+    flat = bytes(range(12))  # 2x2 RGB gradient
+    png = _make_png(2, 2, flat, 2, [4])
+    _, _, px = decode_png(png)
+    assert sum(px) / len(px) == sum(flat) / len(flat)
+
+
+def test_decode_png_rejects_unsupported():
+    import struct
+    import zlib as _zlib
+
+    from readability_php_spark.operators.multimodal import decode_image, decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot really chunks")
+    # palette color type (3) unsupported
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", _zlib.crc32(t + d) & 0xFFFFFFFF))
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)))
+    with pytest.raises(ValueError):
+        decode_png(bad)
+    # non-PNG without fake= still raises NotImplementedError
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff jpeg-ish")
+
+
+def test_media_features_real_png_decode(spark):
+    """extract_media_features with fake_decode=False returns REAL dims for
+    PNG payloads (stdlib decoder) and decoder_unavailable for the rest."""
+    pixels = bytes((x * 3 + y * 5 + c) & 0xFF for y in range(9) for x in range(4) for c in range(3))
+    png = _make_png(4, 9, pixels, 2, [0, 1, 2, 3, 4])
+    rows = [(1, "image", bytearray(png)), (2, "image", bytearray(b"GIF89a fake")),
+            (3, "audio", bytearray(b"RIFF...."))]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r.media_id: r for r in extract_media_features(media, fake_decode=False).collect()}
+    assert (out[1].width, out[1].height) == (4, 9) and out[1].error is None
+    assert out[2].error == "decoder_unavailable" and out[2].width is None
+    assert out[3].error is None  # non-image kinds don't decode
+
+
 def test_try_read_parquet_missing_vs_corrupt(spark, tmp_path):
     """Only PATH_NOT_FOUND maps to 'no committed output yet'; any other
     read failure must re-raise — swallowing it would silently disable the
