@@ -176,8 +176,31 @@ def get_base_uri(doc: Document) -> Optional[str]:
     return None
 
 
+#: get_path_info is called once per URI during post-processing (links,
+#: images) but its value only depends on (doc's <base>, url) — cache it
+#: per (doc, mutation epoch, url) so a document's N urls cost one <base>
+#: walk + two _parse_url, not N.  Any DOM mutation bumps the global epoch
+#: and invalidates, so the per-call semantics of the reference
+#: (src/Readability.php:611-630 recomputes every call) are preserved.
+_path_info_cache: dict = {}
+
+
 def get_path_info(doc: Document, url: str) -> tuple[str, str, str]:
     """src/Readability.php:611-630 → (pathBase, scheme, prePath)."""
+    from ..dom.node import mutation_epoch
+
+    key = (id(doc), mutation_epoch(), url)
+    hit = _path_info_cache.get(key)
+    if hit is not None:
+        return hit
+    result = _get_path_info_uncached(doc, url)
+    if len(_path_info_cache) > 16:
+        _path_info_cache.clear()
+    _path_info_cache[key] = result
+    return result
+
+
+def _get_path_info_uncached(doc: Document, url: str) -> tuple[str, str, str]:
     parts = _parse_url(url)
     scheme_s = parts["scheme"] or ""
     host_s = parts["host"] or ""

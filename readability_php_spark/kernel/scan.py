@@ -49,12 +49,17 @@ def check_byline(ctx, node: Node, match_string: str) -> bool:
     if ctx.author:
         return False
     rel = node.get_attribute("rel") if node.node_type == ELEMENT_NODE else ""
-    text = get_text_content(node)
-    if rel == "author" or (
-        REGEXPS["byline"].search(match_string) and is_valid_byline(text)
-    ):
-        ctx.author = php_trim(text)
+    # text content evaluated lazily, mirroring PHP's short-circuit:
+    # `$rel === 'author' || (preg_match(...) && isValidByline(getTextContent()))`
+    # — the vast majority of nodes match neither arm and never pay the walk
+    if rel == "author":
+        ctx.author = php_trim(get_text_content(node))
         return True
+    if REGEXPS["byline"].search(match_string):
+        text = get_text_content(node)
+        if is_valid_byline(text):
+            ctx.author = php_trim(text)
+            return True
     return False
 
 
