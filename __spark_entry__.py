@@ -369,6 +369,110 @@ def q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-source gate (response records + HTTP envelope + per-shard
+    gzip): documents written as WARC response records whose payload is the
+    doc text behind an HTTP/1.1 envelope, read back through
+    ``read_warc_directory``.  md5 of the recovered payload vs md5 of the
+    table text proves envelope stripping and record framing are
+    byte-faithful."""
+    import tempfile
+
+    from readability_php_spark.sources.warc import read_warc_directory, write_warc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 200
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wdir = os.path.join(tempfile.gettempdir(), f"warc_gate_{tag}")
+    marker = os.path.join(wdir, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(wdir, exist_ok=True)
+        shards: dict[int, list] = {i: [] for i in range(4)}
+        for r in docs.collect():  # fixture construction, 200 rows, one-time
+            shards[r.doc_id % 4].append(
+                (f"http://synth.test/doc/{r.doc_id}.html",
+                 "2024-03-02T00:00:00Z", r.text.encode("utf-8"))
+            )
+        for i, batch in shards.items():
+            name = f"shard-{i}.warc" + (".gz" if i % 2 else "")
+            write_warc(os.path.join(wdir, name), batch, compress=bool(i % 2))
+        open(marker, "w").close()
+    pages = read_warc_directory(spark, wdir)
+    return pages.select(
+        F.regexp_extract("url", r"/doc/(\d+)\.html", 1).cast("long").alias("doc_id"),
+        F.md5(F.col("html")).alias("payload_md5"),
+        F.col("warc_ts").cast("timestamp").alias("warc_ts"),
+    ).orderBy("doc_id")
+
+
+def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF-source gate: documents laid out one page per doc (single span at
+    (72, 720)) through the deterministic PDF writer, read back through the
+    span extractor (one task per file).  md5 of the span text vs the table
+    proves the content-stream parse (Td/Tj operators, string escapes) is
+    faithful."""
+    import tempfile
+
+    from readability_php_spark.sources.pdf import read_pdf_directory, write_pdf
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "\n", " ").alias("text")
+    ).filter(F.col("doc_id") < 100)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    pdir = os.path.join(tempfile.gettempdir(), f"pdf_gate_{tag}")
+    marker = os.path.join(pdir, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(pdir, exist_ok=True)
+        shards: dict[int, list] = {i: [] for i in range(4)}
+        for r in sorted(docs.collect(), key=lambda r: r.doc_id):
+            shards[r.doc_id % 4].append([(72.0, 720.0, r.text)])
+        for i, pages_i in shards.items():
+            write_pdf(os.path.join(pdir, f"shard-{i}.pdf"), pages_i)
+        open(marker, "w").close()
+    spans = read_pdf_directory(spark, pdir)
+    shard = F.regexp_extract("url", r"shard-(\d)\.pdf", 1).cast("long")
+    return spans.select(
+        (shard + 4 * (F.col("page") - 1)).alias("doc_id"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+        F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+    ).orderBy("doc_id")
+
+
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-diversity cap: urls rotate over 7 synthetic hosts; at most 10
+    docs per host survive, lowest doc_id first."""
+    from readability_php_spark.operators.urls import cap_per_host
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/doc/"), F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+    )
+    return cap_per_host(pages, 10).select("doc_id", "host").orderBy("doc_id")
+
+
+def q_lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual temperature resampling (T=2): per-lang keep rates
+    (n_min/n_l)^0.5 applied via the md5-threshold sampler — deterministic,
+    replayable outside Spark."""
+    from readability_php_spark.operators.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.concat(F.lit("http://synth.test/doc/"), F.col("doc_id").cast("string"),
+                 F.lit(".html")).alias("url"),
+    )
+    out = temperature_sample(docs, group_col="lang", key_col="url",
+                             temperature=2.0, seed=42)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window counts (the batch shape of the streaming rollup)."""
     events = load_table(spark, sf_dir, "events")
@@ -742,6 +846,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_filter": q_training_filter,
         "training_prep_fuzzy": q_training_prep_fuzzy,
         "wet_ingest": q_wet_ingest,
+        "warc_ingest": q_warc_ingest,
+        "pdf_ingest": q_pdf_ingest,
+        "host_cap": q_host_cap,
+        "lang_temperature_sample": q_lang_temperature_sample,
         "events_hourly": q_events_hourly,
         "rollup_stats": q_rollup_stats,
         "median_chars_by_lang": q_median_chars_by_lang,
@@ -1226,6 +1334,54 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS text_md5,
                    TIMESTAMP '2024-03-01 00:00:00' AS warc_ts
             FROM documents WHERE doc_id < 300 ORDER BY doc_id
+        """,
+        "warc_ingest": """
+            SELECT doc_id,
+                   md5(text) AS payload_md5,
+                   TIMESTAMP '2024-03-02 00:00:00' AS warc_ts
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id
+        """,
+        "pdf_ingest": """
+            SELECT doc_id,
+                   md5(replace(text, chr(10), ' ')) AS text_md5,
+                   72.0 AS x, 720.0 AS y
+            FROM documents WHERE doc_id < 100 ORDER BY doc_id
+        """,
+        "host_cap": """
+            WITH pages AS (
+              SELECT doc_id,
+                     'h' || (doc_id % 7) || '.example' AS host
+              FROM documents),
+            ranked AS (
+              SELECT doc_id, host,
+                     row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+              FROM pages)
+            SELECT doc_id, host FROM ranked WHERE rn <= 10 ORDER BY doc_id
+        """,
+        # temperature resampling: identical rate arithmetic (rates rounded
+        # to 6 decimals before thresholding; *2^32 is an exact exponent
+        # shift so floor agrees bit-for-bit) + the md5-threshold sampler
+        "lang_temperature_sample": """
+            WITH d AS (
+              SELECT doc_id, lang,
+                     'http://synth.test/doc/' || doc_id || '.html#42' AS ks
+              FROM documents),
+            c AS (SELECT lang, count(*) AS n FROM d GROUP BY lang),
+            m AS (SELECT min(n) AS n_min FROM c),
+            r AS (
+              SELECT lang,
+                     round(pow(n_min::DOUBLE / n, 0.5), 6) AS rate
+              FROM c CROSS JOIN m),
+            h AS (
+              SELECT doc_id, lang,
+                     list_reduce(list_transform(range(1, 9),
+                       j -> (strpos('0123456789abcdef', substr(md5(ks), j, 1)) - 1)::BIGINT),
+                       (a, b) -> a * 16 + b) AS u
+              FROM d)
+            SELECT h.doc_id, h.lang
+            FROM h JOIN r USING (lang)
+            WHERE u < floor(rate * 4294967296)::BIGINT
+            ORDER BY doc_id
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -89,3 +89,41 @@ def hash_sample_by(
     for g, r in sorted(rates.items()):
         expr = F.when(F.col(group_col) == g, F.lit(int(r * _BUCKETS))).otherwise(expr)
     return df.filter(u < expr)
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    key_col: str = "url",
+    temperature: float = 2.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Multilingual temperature resampling (the mBERT/XLM-R recipe):
+    sampling probability q_l ∝ p_l^(1/T), so T>1 flattens the language
+    distribution toward the low-resource tail.  Expressed as per-document
+    keep rates r_l = (n_min/n_l)^(1-1/T), normalized so the rarest group
+    keeps everything (pure downsampling — deterministic, no upsampling
+    duplication), then applied with the same md5-threshold machinery as
+    ``hash_sample``: membership is a pure function of (key, seed, group
+    counts), stable across reruns and cluster sizes.
+
+    Rates are rounded to 6 decimals before thresholding so the oracle's
+    libm pow agrees bit-for-bit after rounding.
+
+    Scale shape: one map-side-combined count agg (rows = #groups, tiny) →
+    rate arithmetic on that tiny frame → broadcast join back → scan-side
+    filter.  No global window, no second pass over the data."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    n_min = counts.agg(F.min("_n").alias("_n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        group_col,
+        F.round(
+            F.pow(F.col("_n_min") / F.col("_n"), 1.0 - 1.0 / temperature), 6
+        ).alias("_rate"),
+    )
+    thr = F.floor(F.col("_rate") * _BUCKETS).cast("bigint")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_uniform(F.col(key_col), seed) < thr)
+        .drop("_rate")
+    )

@@ -88,3 +88,34 @@ def filter_blocked_domains(
         "left_anti",
     )
     return joined.drop("_host")
+
+
+def cap_per_host(
+    pages: DataFrame,
+    k: int,
+    url_col: str = "url",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Host-diversity cap: keep at most ``k`` documents per host, lowest
+    ``order_col`` first (deterministic — rank by a quality score to keep
+    the best instead).  Standard pretraining downsampling: without it a
+    single template-heavy domain (forums, e-commerce listings) dominates
+    the corpus.
+
+    Scale shape: one window shuffle keyed on the host.  A mega-host
+    (millions of pages) serializes its own partition through one task;
+    since only the first ``k`` survive, pre-filter with an approximate
+    per-host count (or use the bucketed-window pattern from packing.py)
+    when a host exceeds task-sized cardinality."""
+    from pyspark.sql.window import Window
+
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    w = Window.partitionBy("host").orderBy(order_col)
+    return (
+        pages.withColumn("host", host)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1114,3 +1114,37 @@ def test_filter_blocked_domains(spark):
     # exact host, subdomains, and case-insensitive matches are blocked;
     # notevil.test is NOT (suffix must be dot-separated)
     assert kept == {1, 4}
+
+
+def test_cap_per_host(spark):
+    from readability_php_spark.operators.urls import cap_per_host
+
+    rows = [
+        (i, f"http://{'big.example' if i < 40 else 'small.example'}/p/{i}")
+        for i in range(50)
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    out = cap_per_host(pages, 5).collect()
+    by_host: dict = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r.doc_id)
+    assert sorted(by_host["big.example"]) == [0, 1, 2, 3, 4]  # lowest ids kept
+    assert len(by_host["small.example"]) == 5
+
+
+def test_temperature_sample_flattens(spark):
+    """T=2 keeps everything from the rarest group and ~sqrt(n_min/n) of the
+    dominant one; membership is deterministic across calls."""
+    from readability_php_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "en" if i < 900 else "is", f"http://x/{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, url string")
+    out = temperature_sample(df, temperature=2.0, seed=7)
+    got = {r.doc_id for r in out.collect()}
+    n_en = sum(1 for i in got if i < 900)
+    n_is = sum(1 for i in got if i >= 900)
+    assert n_is == 100  # rarest group: rate 1.0, keeps all
+    # en rate = sqrt(100/900) = 1/3; md5 thresholding is ~binomial around it
+    assert 240 <= n_en <= 360
+    got2 = {r.doc_id for r in temperature_sample(df, temperature=2.0, seed=7).collect()}
+    assert got == got2  # deterministic
