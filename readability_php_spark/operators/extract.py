@@ -35,6 +35,7 @@ from pyspark.sql.types import (
 
 from ..config import Configuration
 from ..kernel import extract as kernel_extract
+from ..sources.charset import sniff_decode
 
 EXTRACT_SCHEMA = StructType([
     StructField("url", StringType(), True),
@@ -88,7 +89,12 @@ def make_extract_batches(
                     res = kernel_extract("", cfg, url=url)
                 else:
                     if isinstance(raw, (bytes, bytearray, memoryview)):
-                        html = bytes(raw).decode("utf-8", errors="replace")
+                        # charset sniff (BOM → strict-utf-8 trial → meta
+                        # prescan → latin-1): crawl payloads carry no
+                        # trustworthy encoding; a hard utf-8 decode garbles
+                        # every legacy-encoded page.  Valid utf-8 input
+                        # decodes exactly as before.
+                        html, _enc = sniff_decode(bytes(raw))
                     else:
                         html = str(raw)
                     res = kernel_extract(html, cfg, url=url)

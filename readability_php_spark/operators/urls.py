@@ -102,11 +102,12 @@ def cap_per_host(
     single template-heavy domain (forums, e-commerce listings) dominates
     the corpus.
 
-    Scale shape: one window shuffle keyed on the host.  A mega-host
-    (millions of pages) serializes its own partition through one task;
-    since only the first ``k`` survive, pre-filter with an approximate
-    per-host count (or use the bucketed-window pattern from packing.py)
-    when a host exceeds task-sized cardinality."""
+    Scale shape: one window shuffle keyed on the host — and Catalyst
+    plants a PARTIAL ``WindowGroupLimit`` below the exchange (verified in
+    the physical plan), so every input task pre-trims to its own top-k
+    per host before shuffling: a mega-host moves at most k rows per
+    upstream task, not its millions of pages, and the final per-host task
+    sees k x tasks rows worst-case."""
     from pyspark.sql.window import Window
 
     host = F.lower(

@@ -1148,3 +1148,43 @@ def test_temperature_sample_flattens(spark):
     assert 240 <= n_en <= 360
     got2 = {r.doc_id for r in temperature_sample(df, temperature=2.0, seed=7).collect()}
     assert got == got2  # deterministic
+
+
+def test_charset_sniffing():
+    from readability_php_spark.sources.charset import sniff_decode, sniff_encoding
+
+    # valid utf-8 wins regardless of a stale declaration
+    utf8 = "<html><head><meta charset=windows-1252></head><body><p>héllo</p></body></html>".encode("utf-8")
+    text, enc = sniff_decode(utf8)
+    assert enc == "utf-8" and "héllo" in text
+    # legacy bytes + declaration → declared codec (iso-8859-1 remaps to cp1252)
+    legacy = ("<html><head><meta http-equiv=\"Content-Type\" "
+              "content=\"text/html; charset=iso-8859-1\"></head>"
+              "<body><p>caf\xe9 \x93quoted\x94</p></body></html>").encode("latin-1")
+    text, enc = sniff_decode(legacy)
+    assert enc == "windows-1252" and "café" in text and "“quoted”" in text
+    # BOMs are authoritative
+    assert sniff_encoding("﻿x".encode("utf-8"))[:5] == "utf-8"
+    bom16 = "<p>hé</p>".encode("utf-16")
+    text, enc = sniff_decode(bom16)
+    assert enc == "utf-16" and "hé" in text
+    # invalid utf-8, bogus declaration → latin-1 total fallback
+    text, enc = sniff_decode(b"<meta charset=klingon-9>\xff\xfe\xfdraw")
+    assert enc == "latin-1" and isinstance(text, str)
+
+
+def test_extract_operator_legacy_charset(spark):
+    """A windows-1252 page extracts with its accents intact instead of
+    mojibake (the hard-utf8 decode produced replacement chars)."""
+    body = ("<html><head><meta charset=windows-1252><title>T</title></head>"
+            "<body><div class=\"content\"><div class=\"article-body\">"
+            "<p>" + ("caf\xe9 crème déjà vu, " * 20) + "</p>"
+            "</div></div></body></html>")
+    pages = spark.createDataFrame(
+        [("http://x/legacy", bytearray(body.encode("windows-1252")))],
+        "url string, html binary",
+    )
+    out = extract_operator(pages, CFG.with_overrides(char_threshold=100)).collect()[0]
+    assert out.error is None
+    assert "café crème déjà vu" in out.extracted_text
+    assert "�" not in out.extracted_text
