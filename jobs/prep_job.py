@@ -7,9 +7,11 @@
       --output s3://bucket/training_set/ \
       --min-tokens 50 --pack-budget 2048 --train 0.98 --val 0.01 --test 0.01
 
-Chains extract → scrub_pii → exact_dedup → line_dedup → token/quality
-filters → hash_split → pack_documents → split-partitioned parquet
-(see plans/training_pipeline.py for the stage-by-stage scale notes).
+Chains extract → scrub_pii → exact_dedup → fuzzy_dedup (MinHash-LSH →
+Jaccard verify → connected components; skip with --no-fuzzy) → line_dedup
+→ token/quality filters → hash_split → pack_documents per (split, lang) →
+split-partitioned parquet (see plans/training_pipeline.py for the
+stage-by-stage scale notes).
 """
 
 from __future__ import annotations
@@ -31,6 +33,10 @@ def main() -> None:
     ap.add_argument("--val", type=float, default=0.05)
     ap.add_argument("--test", type=float, default=0.05)
     ap.add_argument("--line-min-count", type=int, default=2)
+    ap.add_argument("--no-fuzzy", action="store_true",
+                    help="skip the near-duplicate (MinHash-LSH) stage")
+    ap.add_argument("--fuzzy-threshold", type=float, default=0.8,
+                    help="n-gram Jaccard threshold for verified near-dups")
     ap.add_argument("--master", default=None, help="local testing only; omit under spark-submit")
     args = ap.parse_args()
 
@@ -52,6 +58,8 @@ def main() -> None:
         pack_budget=args.pack_budget,
         fractions={"train": args.train, "val": args.val, "test": args.test},
         line_min_count=args.line_min_count,
+        fuzzy=not args.no_fuzzy,
+        fuzzy_threshold=args.fuzzy_threshold,
     )
     print(
         f"done: in={res.docs_in} extracted={res.docs_extracted} "

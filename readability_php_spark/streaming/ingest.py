@@ -91,3 +91,23 @@ def run_stream_to_parquet(
         writer = writer.trigger(availableNow=True)
     query = writer.start()
     return query
+
+
+def streaming_url_dedup(
+    pages: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Stateful streaming URL dedup: a crawl feed re-fetches the same url
+    across micro-batches (recrawls, redirect chains, politeness retries);
+    this keeps the first arrival of each url and drops the rest, with the
+    dedup state AGED OUT by the watermark — the unbounded-state trap of a
+    naive ``dropDuplicates(["url"])`` on an infinite stream is exactly
+    what ``dropDuplicatesWithinWatermark`` exists to avoid: state is
+    O(urls per watermark horizon), not O(urls ever seen).
+
+    Composes before ``streaming_extract`` so a re-fetched page is never
+    re-extracted (extraction is the expensive stage)."""
+    return pages.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )

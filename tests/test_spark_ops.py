@@ -1188,3 +1188,36 @@ def test_extract_operator_legacy_charset(spark):
     assert out.error is None
     assert "café crème déjà vu" in out.extracted_text
     assert "�" not in out.extracted_text
+
+
+def test_streaming_url_dedup(spark, tmp_path):
+    """Recrawled urls across micro-batches collapse to first arrival; the
+    plan is a stateful streaming dedup (bounded by the watermark)."""
+    import datetime as dt
+
+    from readability_php_spark.sources.pages import PAGES_SCHEMA
+    from readability_php_spark.streaming.ingest import (
+        read_page_stream,
+        streaming_url_dedup,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows1 = [(f"http://s/{i}", t0, b"<p>x</p>", None, "en") for i in range(6)]
+    rows2 = [(f"http://s/{i}", t0 + dt.timedelta(minutes=5), b"<p>y</p>", None, "en")
+             for i in range(3, 9)]  # 3..5 are recrawls
+    spark.createDataFrame(rows1, PAGES_SCHEMA).write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows2, PAGES_SCHEMA).write.parquet(str(src / "b2"))
+
+    stream = read_page_stream(spark, str(src) + "/*", max_files_per_trigger=1)
+    deduped = streaming_url_dedup(stream, watermark="1 hour")
+    assert deduped.isStreaming
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (deduped.writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 9  # 0..8 once each
+    assert got.select("url").distinct().count() == 9
