@@ -473,6 +473,35 @@ def q_lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def q_hashed_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → vector without external embeddings: feature-hashed TF
+    vectors (dim 16, md5 dimension hash) with consecutive-doc cosine.
+    Proves the whole text→vector→similarity path end-to-end — the oracle
+    replays dimension hashing, the zero-filled count profile, L2
+    normalization (component round-6), and index-order cosine."""
+    from readability_php_spark.operators.similarity import cosine
+    from readability_php_spark.operators.text_analysis import hashed_tf_embedding
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 200
+    )
+    emb = hashed_tf_embedding(docs, dim=16, hash_fn="md5")
+    a = emb.select(F.col("doc_id").alias("doc_a"), F.col("embedding").alias("va"))
+    b = emb.select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("embedding").alias("vb"),
+    )
+    return (
+        a.join(b, "doc_a")
+        .select(
+            "doc_a", "doc_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .orderBy("doc_a")
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window counts (the batch shape of the streaming rollup)."""
     events = load_table(spark, sf_dir, "events")
@@ -850,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_ingest": q_pdf_ingest,
         "host_cap": q_host_cap,
         "lang_temperature_sample": q_lang_temperature_sample,
+        "hashed_embedding_cosine": q_hashed_embedding_cosine,
         "events_hourly": q_events_hourly,
         "rollup_stats": q_rollup_stats,
         "median_chars_by_lang": q_median_chars_by_lang,
@@ -1382,6 +1412,39 @@ def oracle_sql() -> dict[str, str]:
             FROM h JOIN r USING (lang)
             WHERE u < floor(rate * 4294967296)::BIGINT
             ORDER BY doc_id
+        """,
+        # hashed_embedding_cosine: md5-leading-8-hex dimension hash (same
+        # digit decode as the minhash family), zero-filled count profile,
+        # L2 normalize with component round-6, index-order cosine round-4
+        "hashed_embedding_cosine": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+              FROM documents WHERE doc_id < 200),
+            tf AS (
+              SELECT doc_id,
+                     list_reduce(list_transform(range(1, 9),
+                       j -> (strpos('0123456789abcdef', substr(md5(tok), j, 1)) - 1)::BIGINT),
+                       (a, b) -> a * 16 + b) % 16 AS d,
+                     count(*)::DOUBLE AS c
+              FROM toks WHERE tok <> '' GROUP BY 1, 2),
+            dims AS (
+              SELECT doc_id, unnest(range(0, 16)) AS d
+              FROM (SELECT DISTINCT doc_id FROM tf)),
+            vec0 AS (
+              SELECT dims.doc_id, dims.d, coalesce(tf.c, 0.0) AS c
+              FROM dims LEFT JOIN tf ON tf.doc_id = dims.doc_id AND tf.d = dims.d),
+            vecs AS (
+              SELECT doc_id, list(c ORDER BY d) AS v FROM vec0 GROUP BY doc_id),
+            norm AS (
+              SELECT doc_id,
+                     list_transform(v, x -> round(
+                       x / sqrt(list_sum(list_transform(v, y -> y * y))), 6)) AS e
+              FROM vecs)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(list_cosine_similarity(a.e::DOUBLE[], b.e::DOUBLE[]), 4) AS cos_sim
+            FROM norm a JOIN norm b ON b.doc_id = a.doc_id + 1
+            ORDER BY doc_a
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

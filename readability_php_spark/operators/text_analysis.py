@@ -268,3 +268,60 @@ def tfidf_keywords(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def hashed_tf_embedding(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Feature-hashed TF embeddings (the hashing trick): token t votes its
+    count into dimension hash(t) mod ``dim``; the vector is the
+    L2-normalized count profile, components rounded to 6 decimals for
+    cross-engine stability.  Returns (id, embedding: array<double>) for
+    every document with at least one token.
+
+    This closes the text → vector gap in the similarity stack: the
+    cosine/ANN/IVF/near-dup operators no longer require externally
+    computed embeddings — hashed TF at dim 64-256 is the standard cheap
+    signal for embedding-cosine near-dup detection and coarse clustering.
+
+    ``hash_fn="xxhash64"`` is the production path (one JVM intrinsic per
+    token); ``"md5"`` derives the dimension from the leading 8 hex digits
+    (same decode as the minhash family) so DuckDB can replay it.
+
+    Scale shape: explode → one (id, dim) map-side-combined count agg →
+    one per-id agg building a dim→count map → O(dim + tokens) per doc
+    column algebra (map lookup per dimension — never O(dim x tokens)).
+    Two shuffles total, both on compact keys."""
+    words = documents.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    if hash_fn == "md5":
+        d = (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+            % F.lit(dim)
+        )
+    elif hash_fn == "xxhash64":
+        d = F.pmod(F.xxhash64(F.col("tok")), F.lit(dim))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    counts = words.groupBy("id", d.alias("d")).agg(
+        F.count("*").cast("double").alias("c")
+    )
+    maps = counts.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("d", "c"))).alias("m")
+    )
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("bigint")), F.lit(0.0)),
+    )
+    vec = maps.select("id", raw.alias("v"))
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    return vec.select(
+        F.col("id").alias(id_col),
+        F.transform(F.col("v"), lambda x: F.round(x / norm, 6)).alias("embedding"),
+    )

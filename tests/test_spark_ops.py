@@ -1221,3 +1221,17 @@ def test_streaming_url_dedup(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 9  # 0..8 once each
     assert got.select("url").distinct().count() == 9
+
+
+def test_hashed_tf_embedding(spark):
+    from readability_php_spark.operators.text_analysis import hashed_tf_embedding
+
+    rows = [(1, "apple banana apple"), (2, "apple banana apple"),
+            (3, "zq xw yv"), (4, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: list(r.embedding) for r in hashed_tf_embedding(df, dim=8).collect()}
+    assert 4 not in got  # token-less doc has no vector
+    for v in got.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-4  # unit norm
+    assert got[1] == got[2]  # deterministic: identical docs, identical vectors
+    assert got[1] != got[3]
