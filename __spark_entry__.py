@@ -502,6 +502,44 @@ def q_hashed_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality score over the first 200 docs: the
+    corpus trains the smoothed bigram model, every doc is scored by mean
+    bigram log-prob (round-4).  The oracle replays counts on raw strings
+    (evidencing the xxhash64 join-key path collision-free)."""
+    from readability_php_spark.operators.text_analysis import ngram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 200
+    )
+    return ngram_lm_score(docs).orderBy("doc_id")
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (5 damped iterations, round-6 trajectory) over
+    a deterministic synthetic outlink graph: hosts h0-h16 emit edges
+    (src = doc_id % 17, dst = (doc_id*7+3) % 23, self-loops dropped), so
+    hosts h17-h22 are dangling (in-links only) and exercise the
+    dangling-mass redistribution.  Oracle = the same trajectory unrolled
+    as 5 CTE layers (the IVF replay technique)."""
+    from readability_php_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 300
+    )
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 17).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 7 + 3) % 23).cast("string")).alias(
+            "dst"
+        ),
+    ).filter(F.col("src") != F.col("dst"))
+    return (
+        pagerank(edges, iterations=5)
+        .select(F.col("node").alias("host"), F.col("rank").alias("pagerank"))
+        .orderBy("host")
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window counts (the batch shape of the streaming rollup)."""
     events = load_table(spark, sf_dir, "events")
@@ -880,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": q_host_cap,
         "lang_temperature_sample": q_lang_temperature_sample,
         "hashed_embedding_cosine": q_hashed_embedding_cosine,
+        "ngram_lm_score": q_ngram_lm_score,
+        "host_pagerank": q_host_pagerank,
         "events_hourly": q_events_hourly,
         "rollup_stats": q_rollup_stats,
         "median_chars_by_lang": q_median_chars_by_lang,
@@ -1023,6 +1063,50 @@ def _minhash_sql(num_hashes: int) -> str:
         h -> coalesce(list_min(list_transform(sh,
                s -> ((12289 + 24593*h) * {h1} + (4099 + 8209*h) * {h2} + h) % 2147483647)),
              2147483647::BIGINT))"""
+
+
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled PageRank trajectory for DuckDB (the IVF replay technique):
+    ranks are round-6 after every iteration in Spark, so replaying the
+    same arithmetic layer-by-layer is hash-exact.  Float literals are
+    embedded via repr() with ::DOUBLE casts — DuckDB's bare 0.85 parses
+    as DECIMAL(3,2), whose arithmetic differs from Python/Spark doubles
+    in the last ulp."""
+    one_minus_d = 1.0 - damping
+    sql = """
+            WITH edges AS (
+              SELECT 'h' || (doc_id % 17) AS src,
+                     'h' || ((doc_id * 7 + 3) % 23) AS dst
+              FROM documents
+              WHERE doc_id < 300
+                AND 'h' || (doc_id % 17) <> 'h' || ((doc_id * 7 + 3) % 23)),
+            nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+            outd AS (SELECT src, count(*)::DOUBLE AS od FROM edges GROUP BY 1),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+            r0 AS (SELECT node, round(1.0::DOUBLE / (SELECT n FROM nn), 6) AS pr
+                   FROM nodes)"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+            d{i} AS (SELECT coalesce(sum(r.pr), 0.0::DOUBLE) AS ds
+                   FROM {prev} r LEFT JOIN outd o ON r.node = o.src
+                   WHERE o.src IS NULL),
+            m{i} AS (SELECT e.dst AS node, sum(r.pr / o.od) AS m
+                   FROM edges e
+                   JOIN {prev} r ON r.node = e.src
+                   JOIN outd o ON o.src = e.src
+                   GROUP BY 1),
+            r{i} AS (SELECT nodes.node,
+                          round({one_minus_d!r}::DOUBLE / (SELECT n FROM nn)
+                                + {damping!r}::DOUBLE
+                                  * (coalesce(m.m, 0.0::DOUBLE)
+                                     + (SELECT ds FROM d{i}) / (SELECT n FROM nn)),
+                                6) AS pr
+                   FROM nodes LEFT JOIN m{i} m ON m.node = nodes.node)"""
+        prev = f"r{i}"
+    sql += f"""
+            SELECT node AS host, pr AS pagerank FROM {prev} ORDER BY host"""
+    return sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1446,6 +1530,35 @@ def oracle_sql() -> dict[str, str]:
             FROM norm a JOIN norm b ON b.doc_id = a.doc_id + 1
             ORDER BY doc_a
         """,
+        # ngram_lm_score: add-1-smoothed bigram LM trained on the corpus,
+        # mean log-prob per doc round-4; joins on raw strings (the Spark
+        # side joins on xxhash64 keys — equality evidences no collisions)
+        "ngram_lm_score": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS a
+              FROM documents WHERE doc_id < 200),
+            big AS (
+              SELECT doc_id,
+                     unnest(list_slice(a, 1, len(a) - 1)) AS w1,
+                     unnest(list_slice(a, 2, len(a))) AS w2
+              FROM toks WHERE len(a) >= 2),
+            bc AS (SELECT w1, w2, count(*)::DOUBLE AS c12 FROM big GROUP BY 1, 2),
+            cc AS (SELECT w1, count(*)::DOUBLE AS c1 FROM big GROUP BY 1),
+            vv AS (SELECT count(DISTINCT tok)::DOUBLE AS v
+                   FROM (SELECT unnest(a) AS tok FROM toks)),
+            scored AS (
+              SELECT b.doc_id,
+                     ln((bc.c12 + 1.0::DOUBLE)
+                        / (cc.c1 + 1.0::DOUBLE * (SELECT v FROM vv))) AS lp
+              FROM big b
+              JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+              JOIN cc ON cc.w1 = b.w1)
+            SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS lm_score
+            FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        "host_pagerank": _pagerank_sql(iterations=5, damping=0.85),
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS value_sum

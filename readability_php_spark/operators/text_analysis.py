@@ -270,6 +270,83 @@ def tfidf_keywords(
     )
 
 
+def ngram_lm_score(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """CCNet-style statistical-LM quality signal: score every document by
+    the mean log-probability of its token bigrams under an add-k-smoothed
+    bigram model trained on the corpus itself —
+
+        P(w2 | w1) = (c(w1,w2) + k) / (c(w1,·) + k·V)
+
+    with V the corpus vocabulary size.  Returns ``(id, n_bigrams,
+    lm_score)`` for every document with at least one bigram (≥2 tokens);
+    higher (less negative) = more typical of the corpus, the standard
+    perplexity-bucket filter for pretraining data (CCNet trains KenLM on
+    Wikipedia; the train-corpus choice is the caller's — pass a reference
+    corpus' counts by unioning it in upstream).
+
+    Cross-engine: counts are integers, the only floats are ln() (last-ulp
+    across libm) and the mean's summation order (~1e-16 relative), so the
+    4-decimal round is stable.
+
+    Scale shape: bigrams are per-row column algebra (no shuffle to
+    build); then two map-side-combined count aggs (bigram + context) and
+    one distinct-count for V riding as a broadcast 1-row aggregate (no
+    separate count() action).  The score join is keyed on
+    ``xxhash64(w1,w2)`` / ``xxhash64(w1)`` — 8-byte keys, not vocabulary
+    strings; a 64-bit collision merges two bigrams' counts (odds
+    ~N²/2^65) and the DuckDB oracle joining on raw strings evidences the
+    absence."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    docs = documents.select(F.col(id_col).alias("id"), toks.alias("a"))
+    # sequence(0, size-2) would produce a DESCENDING [0,-1] for 1-token
+    # docs (Spark default step is -1 when start > stop) — filter first.
+    big = (
+        docs.filter(F.size("a") >= 2)
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(a) - 2),"
+                    " i -> struct(a[i] AS w1, a[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    keyed = big.select(
+        "id",
+        F.xxhash64("w1", "w2").alias("bk"),
+        F.xxhash64("w1").alias("ck"),
+    )
+    bigram_counts = keyed.groupBy("bk").agg(F.count("*").alias("c12"))
+    context_counts = keyed.groupBy("ck").agg(F.count("*").alias("c1"))
+    vocab = docs.select(F.explode("a").alias("tok")).agg(
+        F.count_distinct("tok").cast("double").alias("_v")
+    )
+    lp = F.log(
+        (F.col("c12") + F.lit(add_k)) / (F.col("c1") + F.lit(add_k) * F.col("_v"))
+    )
+    return (
+        keyed.join(bigram_counts, "bk")
+        .join(context_counts, "ck")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(lp), 4).alias("lm_score"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "lm_score")
+    )
+
+
 def hashed_tf_embedding(
     documents: DataFrame,
     text_col: str = "text",

@@ -1235,3 +1235,56 @@ def test_hashed_tf_embedding(spark):
         assert abs(sum(x * x for x in v) - 1.0) < 1e-4  # unit norm
     assert got[1] == got[2]  # deterministic: identical docs, identical vectors
     assert got[1] != got[3]
+
+
+def test_pagerank_invariants(spark):
+    from readability_php_spark.operators.graph import pagerank
+
+    # Chain a->b->c plus dangling d (in-link only): c and d have no
+    # out-edges, so their mass redistributes uniformly each iteration.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "d")], "src string, dst string"
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    assert set(ranks) == {"a", "b", "c", "d"}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4  # mass conserved
+    # c receives b's full rank plus dangling share; a only gets the
+    # teleport + dangling terms, so c must outrank a.
+    assert ranks["c"] > ranks["a"]
+    assert ranks["b"] == ranks["d"]  # symmetric halves of a's vote
+
+
+def test_pagerank_duplicate_edge_multiplicity(spark):
+    from readability_php_spark.operators.graph import pagerank
+
+    # a links b twice and c once: b gets 2/3 of a's vote, c gets 1/3.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c")], "src string, dst string"
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=1).collect()}
+    base = (1 - 0.85) / 3
+    dangling = 2 / 3  # b and c parked 1/3 each at init
+    assert abs(
+        ranks["b"] - (base + 0.85 * ((1 / 3) * (2 / 3) + dangling / 3))
+    ) < 1e-5
+    assert ranks["b"] > ranks["c"]
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    import math
+
+    from readability_php_spark.operators.text_analysis import ngram_lm_score
+
+    # Corpus: "a b a b" (bigrams ab,ba,ab) + "a b" (ab) + 1-token doc.
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.lm_score) for r in ngram_lm_score(df).collect()}
+    assert 3 not in got  # <2 tokens -> no bigrams -> no row
+    # Counts: c(a,b)=3, c(b,a)=1; contexts c(a,.)=3, c(b,.)=1; V=3 (a,b,solo).
+    lp_ab = math.log((3 + 1) / (3 + 3))
+    lp_ba = math.log((1 + 1) / (1 + 3))
+    assert got[2] == (1, round(lp_ab, 4))
+    assert got[1][0] == 3
+    assert abs(got[1][1] - round((2 * lp_ab + lp_ba) / 3, 4)) < 1e-9
