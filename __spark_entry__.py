@@ -540,6 +540,78 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _linked_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic crawl pages (url, html binary) whose anchors
+    exercise every href class links.py handles: relative (nav), single-
+    quoted, protocol-relative, absolute with :port and uppercase <A HREF,
+    mailto:, and fragment-only.  Mirrored in SQL by _LINKED_PAGES_SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 400
+    )
+    i = F.col("doc_id").cast("string")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 17).cast("string"), F.lit(".synth.test")
+    )
+    a = ((F.col("doc_id") * 3 + 1) % 23).cast("string")
+    b = ((F.col("doc_id") * 7 + 2) % 23).cast("string")
+    c = ((F.col("doc_id") * 11 + 5) % 23).cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Page "), i, F.lit("</title></head><body>"),
+        F.lit('<div class="nav"><a href="/">Home</a> <a href=\'/about\'>About</a></div>'),
+        F.lit('<p>See <a href="http://h'), a, F.lit('.synth.test/p/'), i,
+        F.lit('.html">one</a>, '),
+        F.lit('<a href="//h'), b, F.lit('.synth.test/x">two</a>, '),
+        F.lit('<A HREF="https://h'), c, F.lit('.synth.test:8080/q?u=1#f">three</a>, '),
+        F.lit('<a href="mailto:x@y.example">mail</a>, <a href="#frag">frag</a>.</p>'),
+        F.lit("</body></html>"),
+    )
+    return docs.select(
+        F.concat(F.lit("http://"), host, F.lit("/page/"), i, F.lit(".html")).alias(
+            "url"
+        ),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+def q_outlink_hostgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl HTML → aggregated host link graph, self-loops kept so the
+    relative-href resolution (nav links → own host) is hash-visible."""
+    from readability_php_spark.operators.links import host_link_graph
+
+    return host_link_graph(
+        _linked_pages_df(spark, sf_dir), drop_self_loops=False
+    ).orderBy("src_host", "dst_host")
+
+
+def q_outlink_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: outlink extraction from raw HTML → host edges (self-
+    loops dropped) → 5-iteration PageRank; the oracle replays the regex
+    extraction AND the unrolled rank trajectory in one SQL statement."""
+    from readability_php_spark.operators.graph import pagerank
+    from readability_php_spark.operators.links import extract_outlinks
+
+    edges = (
+        extract_outlinks(_linked_pages_df(spark, sf_dir))
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    )
+    return (
+        pagerank(edges, iterations=5)
+        .select(F.col("node").alias("host"), F.col("rank").alias("pagerank"))
+        .orderBy("host")
+    )
+
+
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus duplicated word-20-gram fraction per document (the
+    Lee-et-al. span-dedup signal; the synthetic corpus' natural near-dup
+    pairs give nonzero fractions)."""
+    from readability_php_spark.operators.dedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_spans(docs, n=20).orderBy("doc_id")
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window counts (the batch shape of the streaming rollup)."""
     events = load_table(spark, sf_dir, "events")
@@ -920,6 +992,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_embedding_cosine": q_hashed_embedding_cosine,
         "ngram_lm_score": q_ngram_lm_score,
         "host_pagerank": q_host_pagerank,
+        "outlink_hostgraph": q_outlink_hostgraph,
+        "outlink_pagerank": q_outlink_pagerank,
+        "duplicated_spans": q_duplicated_spans,
         "events_hourly": q_events_hourly,
         "rollup_stats": q_rollup_stats,
         "median_chars_by_lang": q_median_chars_by_lang,
@@ -947,19 +1022,25 @@ _FP = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
 _WORDS = "string_split_regex(lower(trim(text)), '\\s+')"
 
 
-def _shingle_sql(src: str = "text") -> str:
-    """Distinct word-3-gram list of ``src`` (mirrors dedup.word_shingles,
-    including the <3-words → empty-list guard: Spark's num>0 gate means a
-    2-word text has NO shingles, not one truncated shingle)."""
+def _ngram_sql(n: int, src: str = "text") -> str:
+    """Distinct word ``n``-gram list of ``src`` (mirrors
+    dedup.word_shingles, including the <n-words → empty-list guard:
+    Spark's num>0 gate means a too-short text has NO shingles, not one
+    truncated shingle)."""
     words = f"string_split_regex(lower(trim({src})), '\\s+')"
     return f"""
-      CASE WHEN len({words}) < 3 THEN []::VARCHAR[]
+      CASE WHEN len({words}) < {n} THEN []::VARCHAR[]
       ELSE list_distinct(
         list_transform(
-          range(1, len({words}) - 2 + 1),
-          i -> array_to_string(list_slice({words}, i, i + 2), ' ')
+          range(1, len({words}) - {n - 1} + 1),
+          i -> array_to_string(list_slice({words}, i, i + {n - 1}), ' ')
         )
       ) END"""
+
+
+def _shingle_sql(src: str = "text") -> str:
+    """Word-3-gram shingles (the minhash/jaccard operators' unit)."""
+    return _ngram_sql(3, src)
 
 
 def _ivf_sql(
@@ -1065,21 +1146,57 @@ def _minhash_sql(num_hashes: int) -> str:
              2147483647::BIGINT))"""
 
 
-def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
-    """Unrolled PageRank trajectory for DuckDB (the IVF replay technique):
-    ranks are round-6 after every iteration in Spark, so replaying the
-    same arithmetic layer-by-layer is hash-exact.  Float literals are
-    embedded via repr() with ::DOUBLE casts — DuckDB's bare 0.85 parses
-    as DECIMAL(3,2), whose arithmetic differs from Python/Spark doubles
-    in the last ulp."""
-    one_minus_d = 1.0 - damping
-    sql = """
-            WITH edges AS (
+#: RE2/Java-portable regexes for outlink parsing — the same patterns the
+#: Spark operator uses (operators/links.py), embedded in the DuckDB
+#: oracles below so link parsing itself is cross-engine-checked.
+_HREF_SQL_RE = r'(?i)<a\s[^>]*?href\s*=\s*"([^"]*)"'
+_AUTH_SQL_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/?#@]*@)?([^/?#:]+)"
+#: single-quoted href → double-quoted, as a DuckDB expression ('' = escaped ').
+_LINKED_CANON_SQL = (
+    "regexp_replace(html, '"
+    + r"(?i)(<a\s[^>]*?href\s*=\s*)'([^']*)'".replace("'", "''")
+    + "', '\\1\"\\2\"', 'g')"
+)
+#: DuckDB replica of _linked_pages_df: deterministic crawl pages with
+#: relative, protocol-relative, absolute(+port), uppercase-tag, mailto:
+#: and fragment hrefs.
+_LINKED_PAGES_SQL = """
+              SELECT 'h' || (doc_id % 17) || '.synth.test' AS src_host,
+                     '<html><head><title>Page ' || doc_id || '</title></head><body>'
+                     || '<div class="nav"><a href="/">Home</a> <a href=''/about''>About</a></div>'
+                     || '<p>See <a href="http://h' || ((doc_id * 3 + 1) % 23)
+                     || '.synth.test/p/' || doc_id || '.html">one</a>, '
+                     || '<a href="//h' || ((doc_id * 7 + 2) % 23) || '.synth.test/x">two</a>, '
+                     || '<A HREF="https://h' || ((doc_id * 11 + 5) % 23)
+                     || '.synth.test:8080/q?u=1#f">three</a>, '
+                     || '<a href="mailto:x@y.example">mail</a>, <a href="#frag">frag</a>.</p>'
+                     || '</body></html>' AS html
+              FROM documents WHERE doc_id < 400"""
+
+#: edges CTE body for the synthetic host_pagerank gate query.
+_SYNTH_EDGES_SQL = """
               SELECT 'h' || (doc_id % 17) AS src,
                      'h' || ((doc_id * 7 + 3) % 23) AS dst
               FROM documents
               WHERE doc_id < 300
-                AND 'h' || (doc_id % 17) <> 'h' || ((doc_id * 7 + 3) % 23)),
+                AND 'h' || (doc_id % 17) <> 'h' || ((doc_id * 7 + 3) % 23)"""
+
+
+def _pagerank_sql(
+    edges_sql: str = _SYNTH_EDGES_SQL,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """Unrolled PageRank trajectory for DuckDB (the IVF replay technique):
+    ranks are round-6 after every iteration in Spark, so replaying the
+    same arithmetic layer-by-layer is hash-exact.  ``edges_sql`` is any
+    SELECT producing (src, dst) with multiplicity.  Float literals are
+    embedded via repr() with ::DOUBLE casts — DuckDB's bare 0.85 parses
+    as DECIMAL(3,2), whose arithmetic differs from Python/Spark doubles
+    in the last ulp."""
+    one_minus_d = 1.0 - damping
+    sql = f"""
+            WITH edges AS ({edges_sql}),
             nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
             outd AS (SELECT src, count(*)::DOUBLE AS od FROM edges GROUP BY 1),
             nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
@@ -1558,7 +1675,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS lm_score
             FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
-        "host_pagerank": _pagerank_sql(iterations=5, damping=0.85),
+        "host_pagerank": _pagerank_sql(_SYNTH_EDGES_SQL, iterations=5, damping=0.85),
+        "outlink_hostgraph": f"""
+            WITH hrefs AS (
+              SELECT src_host, unnest(regexp_extract_all(
+                       {_LINKED_CANON_SQL}, '{_HREF_SQL_RE}', 1)) AS href
+              FROM ({_LINKED_PAGES_SQL})),
+            resolved AS (
+              SELECT src_host,
+                     CASE WHEN regexp_matches(href, '{_AUTH_SQL_RE}')
+                          THEN lower(regexp_extract(href, '{_AUTH_SQL_RE}', 1))
+                          ELSE src_host END AS dst_host,
+                     href
+              FROM hrefs
+              WHERE NOT (regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:')
+                         AND NOT regexp_matches(href, '{_AUTH_SQL_RE}'))
+                AND href NOT LIKE '#%' AND href <> '')
+            SELECT src_host, dst_host, count(*) AS n_links
+            FROM resolved GROUP BY 1, 2 ORDER BY src_host, dst_host
+        """,
+        "outlink_pagerank": _pagerank_sql(
+            f"""
+              SELECT src_host AS src, dst_host AS dst FROM (
+                WITH hrefs AS (
+                  SELECT src_host, unnest(regexp_extract_all(
+                           {_LINKED_CANON_SQL}, '{_HREF_SQL_RE}', 1)) AS href
+                  FROM ({_LINKED_PAGES_SQL}))
+                SELECT src_host,
+                       CASE WHEN regexp_matches(href, '{_AUTH_SQL_RE}')
+                            THEN lower(regexp_extract(href, '{_AUTH_SQL_RE}', 1))
+                            ELSE src_host END AS dst_host
+                FROM hrefs
+                WHERE NOT (regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:')
+                           AND NOT regexp_matches(href, '{_AUTH_SQL_RE}'))
+                  AND href NOT LIKE '#%' AND href <> ''
+              ) WHERE src_host <> dst_host""",
+            iterations=5,
+            damping=0.85,
+        ),
+        # duplicated_spans: per-doc fraction of distinct word-20-grams that
+        # appear in >= 2 documents corpus-wide (Spark joins on xxhash64
+        # gram keys; raw-string joins here evidence collision absence)
+        "duplicated_spans": f"""
+            WITH dg AS (
+              SELECT doc_id, unnest({_ngram_sql(20)}) AS gram FROM documents),
+            gd AS (SELECT gram, count(*) AS n_docs FROM dg GROUP BY 1),
+            per_doc AS (
+              SELECT dg.doc_id, count(*) AS n_grams,
+                     sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+              FROM dg JOIN gd USING (gram) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(p.n_dup, 0)::BIGINT AS n_dup_grams,
+                   round(CASE WHEN coalesce(p.n_grams, 0) > 0
+                              THEN coalesce(p.n_dup, 0)::DOUBLE / p.n_grams
+                              ELSE 0.0::DOUBLE END, 6) AS dup_fraction
+            FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS value_sum

@@ -598,3 +598,67 @@ def contamination_flags(
             (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+# --- within-corpus duplicated spans -------------------------------------------
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Within-corpus duplicated-substring signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"; the
+    RefinedWeb/FineWeb pipelines run the same span-level pass after
+    document-level dedup): for every document, the fraction of its
+    distinct word ``n``-grams that also appear in at least ``min_docs``
+    documents corpus-wide.  High ``dup_fraction`` = the doc is largely
+    stitched from text that exists elsewhere (mirror fragments, quoted
+    boilerplate) even when no WHOLE document matches it.
+
+    Returns (id, n_grams, n_dup_grams, dup_fraction) for every doc;
+    docs shorter than ``n`` tokens get (0, 0, 0.0).  Cross-DOCUMENT
+    duplication only — within-doc repetition is ``repetition_signals``'
+    job (text_analysis.py).
+
+    Scale shape: grams are distinct per doc already (word_shingles), so
+    the exploded relation is (id, gram)-unique; one map-side-combined
+    count per gram key, a join back on the same 8-byte ``xxhash64`` key
+    (the gram string never shuffles twice), then a per-doc agg.  The
+    gram-frequency table is bounded by total distinct grams; a 64-bit
+    collision can only over-count one gram's doc frequency (strictly
+    conservative for a removal filter).  The DuckDB oracle joins raw
+    strings — equality evidences collision absence."""
+    gram_key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
+    ).select("id", gram_key(F.col("gram")).alias("gk"))
+    gram_docs = doc_grams.groupBy("gk").agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        doc_grams.join(gram_docs, "gk")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("n_docs") >= min_docs, 1).otherwise(0)
+            ).alias("n_dup_grams"),
+        )
+    )
+    ng = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    nd = F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long")
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            ng.alias("n_grams"),
+            nd.alias("n_dup_grams"),
+            F.round(
+                F.when(ng > 0, nd.cast("double") / ng).otherwise(F.lit(0.0)), 6
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1288,3 +1288,64 @@ def test_ngram_lm_score_hand_computed(spark):
     assert got[2] == (1, round(lp_ab, 4))
     assert got[1][0] == 3
     assert abs(got[1][1] - round((2 * lp_ab + lp_ba) / 3, 4)) < 1e-9
+
+
+def test_extract_outlinks_href_classes(spark):
+    from readability_php_spark.operators.links import extract_outlinks, host_link_graph
+
+    html = (
+        '<html><body><div class="nav"><a href="/">Home</a> '
+        "<a href='/about'>About</a></div>"
+        '<p><a href="http://h16.synth.test/p/5.html">one</a>, '
+        '<a href="//h14.synth.test/x">two</a>, '
+        '<A HREF="https://USER@h14.synth.test:8080/q?u=1#f">three</a>, '
+        '<a href="mailto:x@y.example">mail</a>, '
+        '<a href="javascript:void(0)">js</a>, '
+        '<a href="#frag">frag</a>, <a href="">empty</a></p></body></html>'
+    )
+    df = spark.createDataFrame(
+        [("http://h5.synth.test/page/5.html", bytearray(html, "utf8"))],
+        "url string, html binary",
+    )
+    got = sorted(
+        (r.dst_host, r.href) for r in extract_outlinks(df).collect()
+    )
+    # mailto/javascript/fragment/empty dropped; relative -> src host;
+    # uppercase tag matched; userinfo and port stripped; host lowercased
+    assert got == [
+        ("h14.synth.test", "//h14.synth.test/x"),
+        ("h14.synth.test", "https://USER@h14.synth.test:8080/q?u=1#f"),
+        ("h16.synth.test", "http://h16.synth.test/p/5.html"),
+        ("h5.synth.test", "/"),
+        ("h5.synth.test", "/about"),
+    ]
+    agg = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_link_graph(df, drop_self_loops=False).collect()
+    }
+    assert agg == {
+        ("h5.synth.test", "h5.synth.test"): 2,
+        ("h5.synth.test", "h14.synth.test"): 2,
+        ("h5.synth.test", "h16.synth.test"): 1,
+    }
+    assert ("h5.synth.test", "h5.synth.test") not in {
+        (r.src_host, r.dst_host) for r in host_link_graph(df).collect()
+    }
+
+
+def test_duplicated_spans_hand_computed(spark):
+    from readability_php_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "q w e r t"), (4, "hi")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_fraction)
+        for r in duplicated_spans(df, n=3).collect()
+    }
+    # "a b c" is the only cross-doc gram (docs 1 and 2)
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (3, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)  # shorter than n -> zero row, not missing
