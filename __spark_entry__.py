@@ -602,6 +602,36 @@ def q_outlink_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine model-based quality filtering: train a logistic-regression
+    classifier (3 full-batch GD steps, rounded trajectory) on hashed-TF
+    features against a deterministic long-document label, then score every
+    doc.  The oracle replays feature hashing, every gradient step, and the
+    final sigmoid as one unrolled SQL statement."""
+    from readability_php_spark.operators.classify import score_logreg, train_logreg
+    from readability_php_spark.operators.text_analysis import hashed_tf_embedding
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 300
+    )
+    ntok = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
+    )
+    labels = docs.select(
+        "doc_id", (ntok >= 56).cast("long").alias("label")
+    )
+    feats = hashed_tf_embedding(docs, dim=16, hash_fn="md5").join(labels, "doc_id")
+    w, b = train_logreg(feats, dim=16, iterations=3, lr=1.0)
+    return (
+        score_logreg(feats, w, b)
+        .select("doc_id", "label", "score", "keep")
+        .orderBy("doc_id")
+    )
+
+
 def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-corpus duplicated word-20-gram fraction per document (the
     Lee-et-al. span-dedup signal; the synthetic corpus' natural near-dup
@@ -995,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_hostgraph": q_outlink_hostgraph,
         "outlink_pagerank": q_outlink_pagerank,
         "duplicated_spans": q_duplicated_spans,
+        "quality_classifier": q_quality_classifier,
         "events_hourly": q_events_hourly,
         "rollup_stats": q_rollup_stats,
         "median_chars_by_lang": q_median_chars_by_lang,
@@ -1223,6 +1254,89 @@ def _pagerank_sql(
         prev = f"r{i}"
     sql += f"""
             SELECT node AS host, pr AS pagerank FROM {prev} ORDER BY host"""
+    return sql
+
+
+def _logreg_sql(
+    dim: int = 16,
+    iterations: int = 3,
+    lr: float = 1.0,
+    label_thresh: int = 56,
+    max_id: int = 300,
+) -> str:
+    """Unrolled logistic-regression training trajectory for DuckDB: replays
+    md5-hashed TF features, each rounded gradient step (z, sigmoid, per-dim
+    gradient sums, weight updates all round-6 — mirroring
+    operators/classify.py), and the final round-4 sigmoid score."""
+    sql = f"""
+            WITH docs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < {max_id}),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+              FROM docs),
+            tf AS (
+              SELECT doc_id,
+                     list_reduce(list_transform(range(1, 9),
+                       j -> (strpos('0123456789abcdef', substr(md5(tok), j, 1)) - 1)::BIGINT),
+                       (a, b) -> a * 16 + b) % {dim} AS d,
+                     count(*)::DOUBLE AS c
+              FROM toks WHERE tok <> '' GROUP BY 1, 2),
+            dims AS (
+              SELECT doc_id, unnest(range(0, {dim})) AS d
+              FROM (SELECT DISTINCT doc_id FROM tf)),
+            vec0 AS (
+              SELECT dims.doc_id, dims.d, coalesce(tf.c, 0.0) AS c
+              FROM dims LEFT JOIN tf ON tf.doc_id = dims.doc_id AND tf.d = dims.d),
+            nrm AS (
+              SELECT doc_id, sqrt(sum(c * c)) AS norm FROM vec0 GROUP BY doc_id),
+            ve AS (
+              SELECT v.doc_id, v.d, round(v.c / n.norm, 6) AS x
+              FROM vec0 v JOIN nrm n USING (doc_id)),
+            labels AS (
+              SELECT doc_id,
+                     CASE WHEN len(list_filter(
+                            string_split_regex(lower(trim(text)), '\\s+'),
+                            t -> t <> '')) >= {label_thresh}
+                          THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y
+              FROM docs),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM nrm),
+            w0 AS (SELECT unnest(range(0, {dim})) AS d, 0.0::DOUBLE AS w),
+            b0 AS (SELECT 0.0::DOUBLE AS b)"""
+    for i in range(1, iterations + 1):
+        p = i - 1
+        sql += f""",
+            z{i} AS (
+              SELECT ve.doc_id,
+                     round((SELECT b FROM b{p}) + sum(w.w * ve.x), 6) AS z
+              FROM ve JOIN w{p} w USING (d) GROUP BY ve.doc_id),
+            r{i} AS (
+              SELECT z.doc_id,
+                     round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z.z)), 6) - l.y AS r
+              FROM z{i} z JOIN labels l USING (doc_id)),
+            g{i} AS (
+              SELECT ve.d, round(sum(r.r * ve.x), 6) AS g
+              FROM ve JOIN r{i} r USING (doc_id) GROUP BY ve.d),
+            gb{i} AS (SELECT round(sum(r), 6) AS g FROM r{i}),
+            w{i} AS (
+              SELECT w.d,
+                     round(w.w - {lr!r}::DOUBLE * g.g / (SELECT n FROM nn), 6) AS w
+              FROM w{p} w JOIN g{i} g USING (d)),
+            b{i} AS (
+              SELECT round((SELECT b FROM b{p})
+                           - {lr!r}::DOUBLE * (SELECT g FROM gb{i})
+                             / (SELECT n FROM nn), 6) AS b)"""
+    last = iterations
+    sql += f""",
+            zf AS (
+              SELECT ve.doc_id,
+                     round((SELECT b FROM b{last}) + sum(w.w * ve.x), 6) AS z
+              FROM ve JOIN w{last} w USING (d) GROUP BY ve.doc_id)
+            SELECT z.doc_id, l.y::BIGINT AS label,
+                   round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z.z)), 4) AS score,
+                   round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z.z)), 4) >= 0.5 AS keep
+            FROM zf z JOIN labels l USING (doc_id)
+            ORDER BY z.doc_id"""
     return sql
 
 
@@ -1676,6 +1790,9 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
         "host_pagerank": _pagerank_sql(_SYNTH_EDGES_SQL, iterations=5, damping=0.85),
+        "quality_classifier": _logreg_sql(
+            dim=16, iterations=3, lr=1.0, label_thresh=56, max_id=300
+        ),
         "outlink_hostgraph": f"""
             WITH hrefs AS (
               SELECT src_host, unnest(regexp_extract_all(

@@ -1349,3 +1349,29 @@ def test_duplicated_spans_hand_computed(spark):
     assert got[2] == (2, 1, 0.5)
     assert got[3] == (3, 0, 0.0)
     assert got[4] == (0, 0, 0.0)  # shorter than n -> zero row, not missing
+
+
+def test_logreg_train_and_score(spark):
+    import math
+
+    from readability_php_spark.operators.classify import score_logreg, train_logreg
+
+    feats = spark.createDataFrame(
+        [(1, [1.0], 1), (2, [0.5], 0)], "doc_id long, embedding array<double>, label int"
+    )
+    w, b = train_logreg(feats, dim=1, iterations=1, lr=1.0)
+    # one step by hand: sigma(0)=0.5 -> residuals (-0.5, +0.5);
+    # g = (-0.5*1.0 + 0.5*0.5) = -0.25, g_b = 0; w = 0.25/2, b = 0
+    assert (w, b) == ([0.125], 0.0)
+    got = {r.doc_id: (r.score, r.keep) for r in score_logreg(feats, w, b).collect()}
+    assert got[1] == (round(1 / (1 + math.exp(-0.125)), 4), True)
+    assert got[2] == (round(1 / (1 + math.exp(-0.0625)), 4), True)
+
+    # linearly separable data: three steps must rank positives above negatives
+    rows = [(i, [1.0, 0.0], 1) for i in range(5)] + [
+        (i + 5, [0.0, 1.0], 0) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>, label int")
+    w2, b2 = train_logreg(df, dim=2, iterations=3, lr=1.0)
+    scored = {r.doc_id: r.score for r in score_logreg(df, w2, b2).collect()}
+    assert min(scored[i] for i in range(5)) > max(scored[i + 5] for i in range(5))
