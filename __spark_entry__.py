@@ -602,6 +602,24 @@ def q_outlink_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text corpus per target host (snippet-paired href+text, inner
+    markup stripped): the oracle replays snippet extraction, text
+    cleanup, and host resolution with the same RE2 patterns."""
+    from readability_php_spark.operators.links import anchor_texts
+
+    at = anchor_texts(_linked_pages_df(spark, sf_dir))
+    return (
+        at.groupBy("dst_host")
+        .agg(
+            F.count("*").alias("n_anchors"),
+            F.count_distinct("anchor_text").alias("n_texts"),
+            F.min("anchor_text").alias("sample_text"),
+        )
+        .orderBy("dst_host")
+    )
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine model-based quality filtering: train a logistic-regression
     classifier (3 full-batch GD steps, rounded trajectory) on hashed-TF
@@ -1025,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_hostgraph": q_outlink_hostgraph,
         "outlink_pagerank": q_outlink_pagerank,
         "duplicated_spans": q_duplicated_spans,
+        "anchor_texts": q_anchor_texts,
         "quality_classifier": q_quality_classifier,
         "events_hourly": q_events_hourly,
         "rollup_stats": q_rollup_stats,
@@ -1793,6 +1812,36 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _logreg_sql(
             dim=16, iterations=3, lr=1.0, label_thresh=56, max_id=300
         ),
+        # anchor_texts: whole-anchor snippet extraction keeps href and
+        # visible text paired; inner markup stripped, whitespace collapsed
+        "anchor_texts": f"""
+            WITH pages AS ({_LINKED_PAGES_SQL}),
+            sn AS (
+              SELECT src_host, unnest(regexp_extract_all(
+                       {_LINKED_CANON_SQL},
+                       '(?is)(<a\\s[^>]*?href\\s*=\\s*"[^"]*"[^>]*>.*?</a>)', 1)) AS snippet
+              FROM pages),
+            pa AS (
+              SELECT src_host,
+                     regexp_extract(snippet, '{_HREF_SQL_RE}', 1) AS href,
+                     trim(regexp_replace(regexp_replace(snippet,
+                            '(?s)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor_text
+              FROM sn),
+            res AS (
+              SELECT CASE WHEN regexp_matches(href, '{_AUTH_SQL_RE}')
+                          THEN lower(regexp_extract(href, '{_AUTH_SQL_RE}', 1))
+                          ELSE src_host END AS dst_host,
+                     anchor_text
+              FROM pa
+              WHERE NOT (regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:')
+                         AND NOT regexp_matches(href, '{_AUTH_SQL_RE}'))
+                AND href NOT LIKE '#%' AND href <> '')
+            SELECT dst_host, count(*) AS n_anchors,
+                   count(DISTINCT anchor_text) AS n_texts,
+                   min(anchor_text) AS sample_text
+            FROM res WHERE anchor_text <> ''
+            GROUP BY 1 ORDER BY dst_host
+        """,
         "outlink_hostgraph": f"""
             WITH hrefs AS (
               SELECT src_host, unnest(regexp_extract_all(

@@ -1375,3 +1375,22 @@ def test_logreg_train_and_score(spark):
     w2, b2 = train_logreg(df, dim=2, iterations=3, lr=1.0)
     scored = {r.doc_id: r.score for r in score_logreg(df, w2, b2).collect()}
     assert min(scored[i] for i in range(5)) > max(scored[i + 5] for i in range(5))
+
+
+def test_anchor_texts_pairing_and_cleanup(spark):
+    from readability_php_spark.operators.links import anchor_texts
+
+    html = (
+        '<html><body><a href="http://a.test/x"><b>Bold</b>  link\n text</a>'
+        '<a href="/rel">Rel</a>'
+        '<a href="http://b.test/y"><img src="i.png"/></a>'  # no visible text
+        '<a href="mailto:z@q.test">Mail me</a></body></html>'
+    )
+    df = spark.createDataFrame(
+        [("http://src.test/p.html", html)], "url string, html string"
+    )
+    got = sorted(
+        (r.dst_host, r.anchor_text) for r in anchor_texts(df).collect()
+    )
+    # image-only anchor and mailto dropped; markup stripped + ws collapsed
+    assert got == [("a.test", "Bold link text"), ("src.test", "Rel")]
