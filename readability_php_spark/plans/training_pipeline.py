@@ -13,6 +13,8 @@ entirely from this repo's operators:
       │                            #   connected components → keep-min-url
       └─ line_dedup                # cross-corpus boilerplate lines
       └─ quality + length filters  # token count / quality score
+      └─ score_logreg (optional)   # model-based filter: pre-trained
+      │                            #   classifier over hashed-TF features
       └─ hash_split                # deterministic train/val/test
       └─ pack_documents            # token-budget packing per (split, lang)
       └─ write partitionBy(split)
@@ -80,6 +82,8 @@ def run_training_prep(
     fuzzy_threshold: float = 0.8,
     fuzzy_num_hashes: int = 16,
     fuzzy_bands: int = 4,
+    classifier: Optional[tuple] = None,
+    classifier_threshold: float = 0.5,
 ) -> PrepResult:
     """pages(url, html[, lang]) → packed training rows at ``output_path``
     (parquet, partitioned by split), plus conservation metrics.
@@ -87,7 +91,15 @@ def run_training_prep(
     ``fuzzy=False`` skips the near-duplicate stage (MinHash-LSH → n-gram
     Jaccard ≥ ``fuzzy_threshold`` → connected components → keep the
     lexicographically-smallest url per cluster) for corpora already
-    fuzzy-deduped upstream."""
+    fuzzy-deduped upstream.
+
+    ``classifier=(weights, bias)`` — e.g. from
+    :func:`~readability_php_spark.operators.classify.train_logreg` on a
+    labeled sample — enables model-based quality filtering: docs scoring
+    below ``classifier_threshold`` on hashed-TF features (dim =
+    ``len(weights)``) are dropped after line dedup.  The stage adds the
+    embedding's two compact-key shuffles; scoring itself is a broadcast
+    map."""
     tune_session_for_extraction(spark)
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
     docs_in = pages.count()
@@ -132,6 +144,21 @@ def run_training_prep(
         token_count(F.col("text_clean")).alias("n_tokens"),
     ).filter(F.col("n_tokens") >= min_tokens)
 
+    if classifier is not None:
+        from ..operators.classify import score_logreg
+        from ..operators.text_analysis import hashed_tf_embedding
+
+        weights, bias = classifier
+        emb = hashed_tf_embedding(
+            with_tokens, text_col="text", id_col="url", dim=len(weights)
+        )
+        keep = score_logreg(
+            emb, weights, bias, threshold=classifier_threshold
+        ).filter("keep").select("url")
+        # min_tokens >= 1 guarantees every surviving doc has an embedding,
+        # so the semi join filters on score alone
+        with_tokens = with_tokens.join(keep, "url", "left_semi")
+
     split = hash_split(with_tokens, fractions, key_col="url")
     packed = pack_documents(
         split, budget=pack_budget, group_cols=("split", "lang"),
@@ -144,11 +171,25 @@ def run_training_prep(
         "split"
     ).parquet(output_path)
 
-    out = spark.read.parquet(output_path)
-    split_counts = {
-        r.split: r.n
-        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
-    }
+    from pyspark.errors import AnalysisException
+
+    try:
+        out = spark.read.parquet(output_path)
+        split_counts = {
+            r.split: r.n
+            for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+    except AnalysisException as e:
+        # a fully-filtered corpus writes zero data files (only _SUCCESS);
+        # that exact condition reads back as UNABLE_TO_INFER_SCHEMA and
+        # means "empty output", not a failure. Anything else re-raises
+        # (same discipline as pipeline._try_read_parquet).
+        get_cond = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", lambda: None
+        )
+        if (get_cond() or "") != "UNABLE_TO_INFER_SCHEMA":
+            raise
+        split_counts = {}
     docs.unpersist()
     return PrepResult(
         output_path=output_path,

@@ -1394,3 +1394,29 @@ def test_anchor_texts_pairing_and_cleanup(spark):
     )
     # image-only anchor and mailto dropped; markup stripped + ws collapsed
     assert got == [("a.test", "Bold link text"), ("src.test", "Rel")]
+
+
+def test_training_prep_classifier_stage(spark, tmp_path):
+    """The optional model-based filter: a drop-everything classifier
+    empties the output, a keep-everything one matches the baseline."""
+    from readability_php_spark.plans.training_pipeline import run_training_prep
+
+    pages = documents_corpus_df(spark, SF).filter(F.col("doc_id") < 20).select(
+        "url", "html"
+    )
+    base = run_training_prep(
+        spark, pages, str(tmp_path / "base"), min_tokens=10,
+        pack_budget=500, fuzzy=False,
+    )
+    keep_all = run_training_prep(
+        spark, pages, str(tmp_path / "keep"), min_tokens=10,
+        pack_budget=500, fuzzy=False,
+        classifier=([0.0] * 16, 10.0),  # sigmoid(10) ~ 1 -> keep every doc
+    )
+    assert keep_all.docs_final == base.docs_final
+    drop_all = run_training_prep(
+        spark, pages, str(tmp_path / "drop"), min_tokens=10,
+        pack_budget=500, fuzzy=False,
+        classifier=([0.0] * 16, -10.0),  # sigmoid(-10) ~ 0 -> drop every doc
+    )
+    assert drop_all.docs_final == 0
