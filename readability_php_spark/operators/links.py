@@ -28,10 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: An anchor tag's href value, either quote style.  Group 1 = double-quoted
-#: value, group 2 = single-quoted.  [^>]* keeps the scan inside one tag.
-_HREF_RE = r"""(?i)<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)')"""
-
 #: host inside an absolute/protocol-relative URL: after the scheme-ish
 #: prefix, up to the first /, ?, # or end; strips userinfo@ and :port.
 _HOST_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/?#@]*@)?([^/?#:]+)"

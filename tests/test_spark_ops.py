@@ -1420,3 +1420,31 @@ def test_training_prep_classifier_stage(spark, tmp_path):
         classifier=([0.0] * 16, -10.0),  # sigmoid(-10) ~ 0 -> drop every doc
     )
     assert drop_all.docs_final == 0
+
+
+def test_pagerank_structural_properties(spark):
+    from readability_php_spark.operators.graph import pagerank
+
+    # 3-cycle: perfect symmetry -> exactly 1/3 each, every iteration
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    ranks = {r.node: r.rank for r in pagerank(cyc, iterations=4).collect()}
+    assert all(abs(v - 1 / 3) < 1e-5 for v in ranks.values())
+
+    # two disconnected 2-cycles: components can't leak rank to each other
+    two = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")],
+        "src string, dst string",
+    )
+    r2 = {r.node: r.rank for r in pagerank(two, iterations=3).collect()}
+    assert all(abs(v - 0.25) < 1e-5 for v in r2.values())
+
+    # star: hub votes split among leaves; leaves are dangling and feed
+    # everyone back uniformly -> leaves tie, hub differs
+    star = spark.createDataFrame(
+        [("hub", "l1"), ("hub", "l2"), ("hub", "l3")], "src string, dst string"
+    )
+    rs = {r.node: r.rank for r in pagerank(star, iterations=3).collect()}
+    assert rs["l1"] == rs["l2"] == rs["l3"]
+    assert abs(sum(rs.values()) - 1.0) < 1e-4
