@@ -1448,3 +1448,152 @@ def test_pagerank_structural_properties(spark):
     rs = {r.node: r.rank for r in pagerank(star, iterations=3).collect()}
     assert rs["l1"] == rs["l2"] == rs["l3"]
     assert abs(sum(rs.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Differential test vs a pure-Python PageRank with identical
+    semantics (edge multiplicity, dangling redistribution, round-6 per
+    iteration) on a seeded random multigraph."""
+    import random
+
+    from readability_php_spark.operators.graph import pagerank
+
+    rng = random.Random(7)
+    edges = [
+        (f"n{rng.randrange(40)}", f"n{rng.randrange(55)}") for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, iterations=4).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out_deg: dict = {}
+    for a, _ in edges:
+        out_deg[a] = out_deg.get(a, 0) + 1
+    ranks = {v: round(1.0 / n, 6) for v in nodes}
+    for _ in range(4):
+        dangling = sum(r for v, r in ranks.items() if v not in out_deg)
+        contrib: dict = {}
+        for a, b in edges:
+            contrib[b] = contrib.get(b, 0.0) + ranks[a] / out_deg[a]
+        ranks = {
+            v: round(0.15 / n + 0.85 * (contrib.get(v, 0.0) + dangling / n), 6)
+            for v in nodes
+        }
+    assert set(got) == set(ranks)
+    for v in nodes:
+        # summation-order noise can flip the 6th decimal's rounding
+        assert abs(got[v] - ranks[v]) <= 2e-6, v
+
+
+def test_duplicated_spans_matches_python_reference(spark):
+    import random
+
+    from readability_php_spark.operators.dedup import duplicated_spans
+
+    rng = random.Random(21)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_fraction)
+        for r in duplicated_spans(df, n=4).collect()
+    }
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i:i + 4]) for i in range(len(w) - 3)}
+
+    per_doc = {i: grams(t) for i, t in rows}
+    freq: dict = {}
+    for gs in per_doc.values():
+        for g in gs:
+            freq[g] = freq.get(g, 0) + 1
+    for i, gs in per_doc.items():
+        dup = sum(1 for g in gs if freq[g] >= 2)
+        want = (len(gs), dup, round(dup / len(gs), 6) if gs else 0.0)
+        assert got[i] == want, i
+
+
+def test_ngram_lm_score_matches_python_reference(spark):
+    import math
+    import random
+
+    from readability_php_spark.operators.text_analysis import ngram_lm_score
+
+    rng = random.Random(5)
+    vocab = [f"t{i}" for i in range(9)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 15))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.lm_score) for r in ngram_lm_score(df).collect()}
+
+    bigrams: dict = {}
+    contexts: dict = {}
+    vv = set()
+    doc_bgs: dict = {}
+    for i, t in rows:
+        w = t.split()
+        vv.update(w)
+        bg = list(zip(w, w[1:]))
+        doc_bgs[i] = bg
+        for p in bg:
+            bigrams[p] = bigrams.get(p, 0) + 1
+            contexts[p[0]] = contexts.get(p[0], 0) + 1
+    V = len(vv)
+    for i, bg in doc_bgs.items():
+        if not bg:
+            assert i not in got
+            continue
+        lps = [
+            math.log((bigrams[p] + 1.0) / (contexts[p[0]] + V)) for p in bg
+        ]
+        assert got[i][0] == len(bg)
+        assert abs(got[i][1] - round(sum(lps) / len(lps), 4)) <= 2e-4, i
+
+
+def test_train_logreg_matches_python_reference(spark):
+    """Differential test vs a pure-Python GD loop with the same per-step
+    rounding on seeded random features."""
+    import math
+    import random
+
+    from readability_php_spark.operators.classify import train_logreg
+
+    rng = random.Random(3)
+    dim = 4
+    rows = [
+        (
+            i,
+            [round(rng.random(), 6) for _ in range(dim)],
+            rng.randrange(2),
+        )
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>, label int"
+    )
+    w_got, b_got = train_logreg(df, dim=dim, iterations=3, lr=0.5)
+
+    n = len(rows)
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(3):
+        resids = []
+        for _, x, y in rows:
+            z = round(b + sum(wi * xi for wi, xi in zip(w, x)), 6)
+            resids.append((x, round(1.0 / (1.0 + math.exp(-z)), 6) - y))
+        g = [
+            round(sum(r * x[d] for x, r in resids), 6) for d in range(dim)
+        ]
+        gb = round(sum(r for _, r in resids), 6)
+        w = [round(w[d] - 0.5 * g[d] / n, 6) for d in range(dim)]
+        b = round(b - 0.5 * gb / n, 6)
+    assert all(abs(a - c) <= 2e-6 for a, c in zip(w_got, w))
+    assert abs(b_got - b) <= 2e-6
