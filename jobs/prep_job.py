@@ -9,9 +9,11 @@
 
 Chains extract → scrub_pii → exact_dedup → fuzzy_dedup (MinHash-LSH →
 Jaccard verify → connected components; skip with --no-fuzzy) → line_dedup
-→ token/quality filters → hash_split → pack_documents per (split, lang) →
-split-partitioned parquet (see plans/training_pipeline.py for the
-stage-by-stage scale notes).
+→ token/quality filters → optional model-based filter (train a logistic
+classifier in-job from --quality-labels, a parquet of (url, label 0/1)
+seed judgments, then drop docs scoring under --quality-threshold) →
+hash_split → pack_documents per (split, lang) → split-partitioned parquet
+(see plans/training_pipeline.py for the stage-by-stage scale notes).
 """
 
 from __future__ import annotations
@@ -37,6 +39,13 @@ def main() -> None:
                     help="skip the near-duplicate (MinHash-LSH) stage")
     ap.add_argument("--fuzzy-threshold", type=float, default=0.8,
                     help="n-gram Jaccard threshold for verified near-dups")
+    ap.add_argument("--quality-labels", default=None,
+                    help="parquet of (url, label) seed judgments; trains an "
+                         "in-job logistic quality classifier")
+    ap.add_argument("--quality-threshold", type=float, default=0.5)
+    ap.add_argument("--quality-dim", type=int, default=64,
+                    help="hashed-TF feature dimension for the classifier")
+    ap.add_argument("--quality-iters", type=int, default=20)
     ap.add_argument("--master", default=None, help="local testing only; omit under spark-submit")
     args = ap.parse_args()
 
@@ -50,6 +59,35 @@ def main() -> None:
     spark = builder.getOrCreate()
 
     pages = spark.read.parquet(args.input)
+
+    classifier = None
+    if args.quality_labels:
+        # Train the quality model from the labeled seed set BEFORE the main
+        # run: extract just the labeled urls (tiny vs the corpus), embed,
+        # and fit.  The fitted (weights, bias) then rides the main pipeline
+        # as a broadcast literal.
+        from pyspark.sql import functions as F
+
+        from readability_php_spark.config import Configuration
+        from readability_php_spark.operators.classify import train_logreg
+        from readability_php_spark.operators.extract import extract_operator
+        from readability_php_spark.operators.text_analysis import hashed_tf_embedding
+
+        labels = spark.read.parquet(args.quality_labels).select("url", "label")
+        sample = pages.join(labels.select("url"), "url", "left_semi")
+        text = (
+            extract_operator(sample, Configuration(substitute_entities=True))
+            .filter(F.col("error").isNull())
+            .select("url", F.col("extracted_text").alias("text"))
+        )
+        feats = hashed_tf_embedding(
+            text, text_col="text", id_col="url", dim=args.quality_dim
+        ).join(labels, "url")
+        classifier = train_logreg(
+            feats, dim=args.quality_dim, iterations=args.quality_iters, lr=1.0
+        )
+        print(f"quality classifier trained on {feats.count()} labeled docs")
+
     res = run_training_prep(
         spark,
         pages,
@@ -60,6 +98,8 @@ def main() -> None:
         line_min_count=args.line_min_count,
         fuzzy=not args.no_fuzzy,
         fuzzy_threshold=args.fuzzy_threshold,
+        classifier=classifier,
+        classifier_threshold=args.quality_threshold,
     )
     print(
         f"done: in={res.docs_in} extracted={res.docs_extracted} "
