@@ -602,6 +602,24 @@ def q_outlink_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (64-token windows, stride 48 → 16-token
+    overlap); chunk text surfaces as md5 so the hash compare covers exact
+    window boundaries without shipping the text."""
+    from readability_php_spark.operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 200
+    )
+    ch = chunk_documents(docs, max_tokens=64, stride=48)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text corpus per target host (snippet-paired href+text, inner
     markup stripped): the oracle replays snippet extraction, text
@@ -1044,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_pagerank": q_outlink_pagerank,
         "duplicated_spans": q_duplicated_spans,
         "anchor_texts": q_anchor_texts,
+        "chunk_documents": q_chunk_documents,
         "quality_classifier": q_quality_classifier,
         "events_hourly": q_events_hourly,
         "rollup_stats": q_rollup_stats,
@@ -1809,6 +1828,25 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
         "host_pagerank": _pagerank_sql(_SYNTH_EDGES_SQL, iterations=5, damping=0.85),
+        # chunk_documents: stride-overlapped token windows; list_slice's
+        # inclusive 1-based [s+1, s+64] == Spark slice(a, s+1, 64)
+        "chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS a
+              FROM documents WHERE doc_id < 200),
+            st AS (
+              SELECT doc_id, a, unnest(range(0, len(a), 48)) AS s
+              FROM toks WHERE len(a) > 0),
+            ch AS (
+              SELECT doc_id, (s // 48)::BIGINT AS chunk_id,
+                     list_slice(a, s + 1, s + 64) AS ctoks
+              FROM st)
+            SELECT doc_id, chunk_id, len(ctoks)::BIGINT AS n_chunk_tokens,
+                   md5(array_to_string(ctoks, ' ')) AS chunk_md5
+            FROM ch ORDER BY doc_id, chunk_id
+        """,
         "quality_classifier": _logreg_sql(
             dim=16, iterations=3, lr=1.0, label_thresh=56, max_id=300
         ),

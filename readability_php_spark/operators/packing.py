@@ -104,3 +104,59 @@ def pack_stats(packed: DataFrame, budget: int,
         )
         .withColumn("fill", F.round(F.col("tokens") / budget, 4))
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document's token sequence into
+    windows of ``max_tokens``, advancing ``stride`` tokens per window
+    (stride < max_tokens → overlapping windows, the standard way long
+    documents enter a fixed-context model without losing cross-boundary
+    text).  Emits ``(id, chunk_id, n_chunk_tokens, chunk_text)``; chunk 0
+    starts at token 0, chunk k at token k*stride, and the last window may
+    be short.  Token = whitespace run, matching token_count/text_analysis.
+
+    This is the upstream complement of ``pack_documents``: chunking cuts
+    oversized documents DOWN to the context budget, packing stitches
+    small ones UP to it; run chunk → pack for constant-length batches.
+
+    Scale shape: pure per-row column algebra — tokenize once, generate
+    window starts with ``sequence``, slice+join per window, one explode.
+    No shuffle; output rows ≈ ceil(n/stride) per doc, cost linear in
+    (overlap factor × corpus tokens).  Degenerate strides are rejected
+    (stride > max_tokens would silently drop the tokens between windows).
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    stride = max_tokens if stride is None else stride
+    if not 1 <= stride <= max_tokens:
+        raise ValueError("stride must be in [1, max_tokens]")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("a")).filter(
+        F.size("a") > 0
+    )
+    # window starts 0, stride, 2*stride, ... < n  (1-based for slice)
+    starts = F.expr(f"sequence(0, size(a) - 1, {stride})")
+    chunks = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.slice(F.col("a"), s + 1, max_tokens),
+            )
+        ).alias("chunk_id", "ctoks"),
+    )
+    return chunks.select(
+        F.col("id").alias(id_col),
+        "chunk_id",
+        F.size("ctoks").alias("n_chunk_tokens"),
+        F.array_join("ctoks", " ").alias("chunk_text"),
+    )

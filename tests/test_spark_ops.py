@@ -1597,3 +1597,28 @@ def test_train_logreg_matches_python_reference(spark):
         b = round(b - 0.5 * gb / n, 6)
     assert all(abs(a - c) <= 2e-6 for a, c in zip(w_got, w))
     assert abs(b_got - b) <= 2e-6
+
+
+def test_chunk_documents_windows(spark):
+    import pytest as _pytest
+
+    from readability_php_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(df, max_tokens=4, stride=3).collect()
+    }
+    # doc 1 (7 tokens): windows at 0, 3, 6 -> overlap of 1 token each
+    assert got[(1, 0)] == (4, "a b c d")
+    assert got[(1, 1)] == (4, "d e f g")
+    assert got[(1, 2)] == (1, "g")  # short last window
+    assert got[(2, 0)] == (2, "x y")
+    assert not any(k[0] == 3 for k in got)  # token-less doc: no chunks
+    # chunk->pack composition: every chunk fits the budget by construction
+    assert all(n <= 4 for n, _ in got.values())
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, stride=5)
