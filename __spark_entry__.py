@@ -602,6 +602,25 @@ def q_outlink_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet composition: bigram-LM score → head/middle/tail assignment by
+    exact tercile-boundary elements (rank-fetched, tuple-compared — no
+    float quantile interpolation, so the oracle replays it exactly)."""
+    from readability_php_spark.operators.text_analysis import (
+        ngram_lm_score,
+        score_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 200
+    )
+    return (
+        score_buckets(ngram_lm_score(docs))
+        .select("doc_id", "lm_score", "bucket")
+        .orderBy("doc_id")
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (64-token windows, stride 48 → 16-token
     overlap); chunk text surfaces as md5 so the hash compare covers exact
@@ -1063,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": q_duplicated_spans,
         "anchor_texts": q_anchor_texts,
         "chunk_documents": q_chunk_documents,
+        "perplexity_buckets": q_perplexity_buckets,
         "quality_classifier": q_quality_classifier,
         "events_hourly": q_events_hourly,
         "rollup_stats": q_rollup_stats,
@@ -1293,6 +1313,34 @@ def _pagerank_sql(
     sql += f"""
             SELECT node AS host, pr AS pagerank FROM {prev} ORDER BY host"""
     return sql
+
+
+#: the ngram_lm_score oracle body, reused by perplexity_buckets.
+_LM_SCORE_SQL = """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS a
+              FROM documents WHERE doc_id < 200),
+            big AS (
+              SELECT doc_id,
+                     unnest(list_slice(a, 1, len(a) - 1)) AS w1,
+                     unnest(list_slice(a, 2, len(a))) AS w2
+              FROM toks WHERE len(a) >= 2),
+            bc AS (SELECT w1, w2, count(*)::DOUBLE AS c12 FROM big GROUP BY 1, 2),
+            cc AS (SELECT w1, count(*)::DOUBLE AS c1 FROM big GROUP BY 1),
+            vv AS (SELECT count(DISTINCT tok)::DOUBLE AS v
+                   FROM (SELECT unnest(a) AS tok FROM toks)),
+            scored AS (
+              SELECT b.doc_id,
+                     ln((bc.c12 + 1.0::DOUBLE)
+                        / (cc.c1 + 1.0::DOUBLE * (SELECT v FROM vv))) AS lp
+              FROM big b
+              JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+              JOIN cc ON cc.w1 = b.w1)
+            SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS lm_score
+            FROM scored GROUP BY doc_id ORDER BY doc_id
+        """
 
 
 def _logreg_sql(
@@ -1802,30 +1850,29 @@ def oracle_sql() -> dict[str, str]:
         # ngram_lm_score: add-1-smoothed bigram LM trained on the corpus,
         # mean log-prob per doc round-4; joins on raw strings (the Spark
         # side joins on xxhash64 keys — equality evidences no collisions)
-        "ngram_lm_score": """
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                 x -> x <> '') AS a
-              FROM documents WHERE doc_id < 200),
-            big AS (
-              SELECT doc_id,
-                     unnest(list_slice(a, 1, len(a) - 1)) AS w1,
-                     unnest(list_slice(a, 2, len(a))) AS w2
-              FROM toks WHERE len(a) >= 2),
-            bc AS (SELECT w1, w2, count(*)::DOUBLE AS c12 FROM big GROUP BY 1, 2),
-            cc AS (SELECT w1, count(*)::DOUBLE AS c1 FROM big GROUP BY 1),
-            vv AS (SELECT count(DISTINCT tok)::DOUBLE AS v
-                   FROM (SELECT unnest(a) AS tok FROM toks)),
-            scored AS (
-              SELECT b.doc_id,
-                     ln((bc.c12 + 1.0::DOUBLE)
-                        / (cc.c1 + 1.0::DOUBLE * (SELECT v FROM vv))) AS lp
-              FROM big b
-              JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
-              JOIN cc ON cc.w1 = b.w1)
-            SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS lm_score
-            FROM scored GROUP BY doc_id ORDER BY doc_id
+        "ngram_lm_score": _LM_SCORE_SQL,
+        # perplexity_buckets: rank desc by (score, id), boundary elements
+        # at ceil(n/3)/ceil(2n/3), tuple-compare assignment (CCNet h/m/t)
+        "perplexity_buckets": f"""
+            WITH sc AS ({_LM_SCORE_SQL}),
+            ranked AS (
+              SELECT doc_id, lm_score,
+                     row_number() OVER (ORDER BY lm_score DESC, doc_id DESC) AS r
+              FROM sc),
+            nn AS (SELECT count(*) AS n FROM sc),
+            b1 AS (SELECT lm_score AS s, doc_id AS i FROM ranked
+                   WHERE r = ((SELECT n FROM nn) + 2) // 3),
+            b2 AS (SELECT lm_score AS s, doc_id AS i FROM ranked
+                   WHERE r = (2 * (SELECT n FROM nn) + 2) // 3)
+            SELECT doc_id, lm_score,
+                   CASE WHEN lm_score > (SELECT s FROM b1)
+                          OR (lm_score = (SELECT s FROM b1)
+                              AND doc_id >= (SELECT i FROM b1)) THEN 'head'
+                        WHEN lm_score > (SELECT s FROM b2)
+                          OR (lm_score = (SELECT s FROM b2)
+                              AND doc_id >= (SELECT i FROM b2)) THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sc ORDER BY doc_id
         """,
         "host_pagerank": _pagerank_sql(_SYNTH_EDGES_SQL, iterations=5, damping=0.85),
         # chunk_documents: stride-overlapped token windows; list_slice's

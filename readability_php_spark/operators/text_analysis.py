@@ -402,3 +402,57 @@ def hashed_tf_embedding(
         F.col("id").alias(id_col),
         F.transform(F.col("v"), lambda x: F.round(x / norm, 6)).alias("embedding"),
     )
+
+
+def score_buckets(
+    scored: DataFrame,
+    score_col: str = "lm_score",
+    id_col: str = "doc_id",
+    names: tuple = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style head/middle/tail assignment: rank the scored set
+    descending (best first, ties broken by id), find the two exact
+    boundary elements at ranks ceil(n/3) and ceil(2n/3), and label each
+    doc by comparing its (score, id) tuple against those boundaries.
+    Deterministic and exactly replayable cross-engine — no float
+    quantile interpolation.
+
+    Scale shape: the ranking window exists only to FETCH the two boundary
+    rows (bounded driver data); assignment itself is a broadcast tuple
+    comparison, a narrow map.  At 10^12 docs, estimate the boundaries on
+    a ``hash_sample`` of the scored set (CCNet fits its perplexity
+    cutoffs on a sample too) and assign the full corpus with the same
+    comparison — this function composes with sampling.py unchanged."""
+    from pyspark.sql.window import Window
+
+    n = scored.count()  # bounded: one long
+    if n == 0:
+        return scored.select(
+            F.col(id_col), F.col(score_col), F.lit(names[1]).alias("bucket")
+        ).limit(0)
+    ranked = scored.select(
+        F.col(id_col).alias("_id"),
+        F.col(score_col).alias("_s"),
+        F.row_number()
+        .over(Window.orderBy(F.desc(score_col), F.desc(id_col)))
+        .alias("_r"),
+    )
+    k1, k2 = -(-n // 3), -(-2 * n // 3)  # ceil
+    bounds = {
+        r["_r"]: (r["_s"], r["_id"])
+        for r in ranked.filter(F.col("_r").isin(k1, k2)).collect()
+    }
+    b1, b2 = bounds[k1], bounds[k2]
+
+    def at_least(bound):
+        s, i = bound
+        return (F.col(score_col) > F.lit(s)) | (
+            (F.col(score_col) == F.lit(s)) & (F.col(id_col) >= F.lit(i))
+        )
+
+    bucket = (
+        F.when(at_least(b1), F.lit(names[0]))
+        .when(at_least(b2), F.lit(names[1]))
+        .otherwise(F.lit(names[2]))
+    )
+    return scored.withColumn("bucket", bucket)

@@ -1622,3 +1622,18 @@ def test_chunk_documents_windows(spark):
     assert all(n <= 4 for n, _ in got.values())
     with _pytest.raises(ValueError):
         chunk_documents(df, max_tokens=4, stride=5)
+
+
+def test_score_buckets_terciles_and_ties(spark):
+    from readability_php_spark.operators.text_analysis import score_buckets
+
+    # 6 docs, scores with a tie straddling the head/middle boundary:
+    # desc order = (5:.9) (4:.8) (3:.8) (2:.5) (1:.4) (0:.1); k1=2, k2=4
+    rows = [(0, 0.1), (1, 0.4), (2, 0.5), (3, 0.8), (4, 0.8), (5, 0.9)]
+    df = spark.createDataFrame(rows, "doc_id long, lm_score double")
+    got = {r.doc_id: r.bucket for r in score_buckets(df).collect()}
+    assert got == {5: "head", 4: "head", 3: "middle", 2: "middle",
+                   1: "tail", 0: "tail"}
+    # single doc -> head (boundaries coincide)
+    one = spark.createDataFrame([(9, 1.0)], "doc_id long, lm_score double")
+    assert [r.bucket for r in score_buckets(one).collect()] == ["head"]
