@@ -425,8 +425,13 @@ def score_buckets(
     comparison — this function composes with sampling.py unchanged."""
     from pyspark.sql.window import Window
 
+    # persisted for the two boundary actions (count + rank fetch); the
+    # returned assignment recomputes the scored plan once at action time,
+    # after the unpersist — callers that reuse it should persist themselves
+    scored = scored.persist()
     n = scored.count()  # bounded: one long
     if n == 0:
+        scored.unpersist()
         return scored.select(
             F.col(id_col), F.col(score_col), F.lit(names[1]).alias("bucket")
         ).limit(0)
@@ -443,6 +448,7 @@ def score_buckets(
         for r in ranked.filter(F.col("_r").isin(k1, k2)).collect()
     }
     b1, b2 = bounds[k1], bounds[k2]
+    scored.unpersist()
 
     def at_least(bound):
         s, i = bound
