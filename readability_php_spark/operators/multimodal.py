@@ -1,9 +1,10 @@
 """Multimodal column operators (image/audio/video as opaque binary).
 
 The Spark-side plumbing is real and tested — schemas, partitioning, Arrow
-batch shapes, ``mapInPandas`` signatures.  PNG — the dominant lossless web
-format — decodes for REAL via a stdlib-only decoder (``decode_png``: chunk
-walk, zlib inflate, scanline unfilter).  JPEG/audio/video codecs need
+batch shapes, ``mapInPandas`` signatures.  PNG and GIF — the dominant
+lossless web formats — decode for REAL via stdlib-only decoders
+(``decode_png``: chunk walk, zlib inflate, scanline unfilter;
+``decode_gif``: color tables, LZW, deinterlace).  JPEG/audio/video codecs need
 libraries this container doesn't ship, so those paths raise
 ``NotImplementedError`` unless a deterministic fake is requested; swapping
 them for PIL/ffmpeg is a one-function change and everything around them
@@ -153,17 +154,153 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(out)
 
 
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """GIF-flavor LZW: variable-width codes (LSB-first bit packing),
+    CLEAR/END control codes, dictionary capped at 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < expected:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError(f"bad first LZW code {code}")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:  # the KwKwK special case
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("LZW stream ended short of the pixel count")
+    return bytes(out[:expected])
+
+
+#: row order of the 4 GIF interlace passes for a given height
+def _gif_interlace_rows(height: int) -> list[int]:
+    return (
+        list(range(0, height, 8))
+        + list(range(4, height, 8))
+        + list(range(2, height, 4))
+        + list(range(1, height, 2))
+    )
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """Real GIF decode with nothing but the stdlib: logical-screen parse →
+    global/local color table → sub-block reassembly → LZW inflate →
+    palette lookup (+ Adam-style 4-pass deinterlace).  FIRST frame only
+    (animation = more frames of the same machinery); returns ``(width,
+    height, rgb_pixels)`` with 3 bytes/pixel, row-major.  Raises
+    ``ValueError`` on structural corruption."""
+    if payload[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF: bad signature")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + len-prefixed sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated image descriptor")
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            palette = gct
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 0x07) + 1)
+                palette = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if palette is None:
+                raise ValueError("GIF frame has no color table")
+            if pos >= len(payload):
+                raise ValueError("truncated LZW header")
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 8:
+                raise ValueError(f"bad LZW min code size {min_code}")
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            indices = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if ipacked & 0x40:  # interlaced: reorder decoded rows
+                rows = _gif_interlace_rows(h)
+                ordered = bytearray(w * h)
+                for src, dst in enumerate(rows):
+                    ordered[dst * w : (dst + 1) * w] = indices[
+                        src * w : (src + 1) * w
+                    ]
+                indices = bytes(ordered)
+            npal = len(palette) // 3
+            out = bytearray(w * h * 3)
+            for i, idx in enumerate(indices):
+                if idx >= npal:
+                    raise ValueError(f"palette index {idx} out of range")
+                out[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
+            return w, h, bytes(out)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF has no image data")
+
+
 def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int, bytes]:
-    """PNG payloads decode for REAL (stdlib-only — see ``decode_png``);
-    other formats need an image library this container doesn't ship, so
-    they raise ``NotImplementedError`` unless ``fake=True`` requests the
-    deterministic pseudo-decode (dimensions derived from byte length) that
-    the plumbing tests and the synthetic-corpus oracle use."""
+    """PNG and GIF payloads decode for REAL (stdlib-only — see
+    ``decode_png`` / ``decode_gif``); other formats need an image library
+    this container doesn't ship, so they raise ``NotImplementedError``
+    unless ``fake=True`` requests the deterministic pseudo-decode
+    (dimensions derived from byte length) that the plumbing tests and the
+    synthetic-corpus oracle use."""
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
+    if payload[:6] in GIF_MAGICS:
+        return decode_gif(payload)
     if not fake:
         raise NotImplementedError(
-            "non-PNG image decode requires PIL/libvips; not available in this environment"
+            "non-PNG/GIF image decode requires PIL/libvips; not available in this environment"
         )
     n = len(payload)
     width = (n % 640) + 16

@@ -858,18 +858,23 @@ def test_decode_png_rejects_unsupported():
         decode_image(b"\xff\xd8\xff jpeg-ish")
 
 
-def test_media_features_real_png_decode(spark):
+def test_media_features_real_png_gif_decode(spark):
     """extract_media_features with fake_decode=False returns REAL dims for
-    PNG payloads (stdlib decoder) and decoder_unavailable for the rest."""
+    PNG and GIF payloads (stdlib decoders), decode_error for corrupt ones,
+    and decoder_unavailable for formats with no decoder (JPEG)."""
     pixels = bytes((x * 3 + y * 5 + c) & 0xFF for y in range(9) for x in range(4) for c in range(3))
     png = _make_png(4, 9, pixels, 2, [0, 1, 2, 3, 4])
+    gif = _build_gif(4, 4, [0, 0, 0, 255, 0, 0], [0, 1] * 8)
     rows = [(1, "image", bytearray(png)), (2, "image", bytearray(b"GIF89a fake")),
-            (3, "audio", bytearray(b"RIFF...."))]
+            (3, "audio", bytearray(b"RIFF....")), (4, "image", bytearray(gif)),
+            (5, "image", bytearray(b"\xff\xd8\xff jpeg-ish"))]
     media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
     out = {r.media_id: r for r in extract_media_features(media, fake_decode=False).collect()}
     assert (out[1].width, out[1].height) == (4, 9) and out[1].error is None
-    assert out[2].error == "decoder_unavailable" and out[2].width is None
+    assert out[2].error.startswith("decode_error") and out[2].width is None
     assert out[3].error is None  # non-image kinds don't decode
+    assert (out[4].width, out[4].height) == (4, 4) and out[4].error is None
+    assert out[5].error == "decoder_unavailable" and out[5].width is None
 
 
 def test_try_read_parquet_missing_vs_corrupt(spark, tmp_path):
@@ -1637,3 +1642,78 @@ def test_score_buckets_terciles_and_ties(spark):
     # single doc -> head (boundaries coincide)
     one = spark.createDataFrame([(9, 1.0)], "doc_id long, lm_score double")
     assert [r.bucket for r in score_buckets(one).collect()] == ["head"]
+
+
+def _build_gif(w, h, palette, pixels, interlaced=False, min_code=2):
+    """Minimal GIF encoder (test-side twin of decode_gif): uncompressed
+    LZW (all-literal codes) packed with the decoder's width schedule."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes = [clear] + list(pixels) + [end]
+    bits = []
+    size = min_code + 1
+    next_code = end + 1
+    had_prev = False
+    for c in codes:
+        bits.extend((c >> b) & 1 for b in range(size))
+        if c == clear:
+            size, next_code, had_prev = min_code + 1, end + 1, False
+        elif c != end:
+            if had_prev and next_code < 4096:
+                next_code += 1
+                if next_code == (1 << size) and size < 12:
+                    size += 1
+            had_prev = True
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        data.append(sum(b << j for j, b in enumerate(bits[i:i + 8])))
+    n_entries = len(palette) // 3
+    k = max(1, (n_entries - 1).bit_length()) - 1  # 2^(k+1) entries
+    gif = bytearray(b"GIF89a")
+    gif += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    gif += bytes([0x80 | k, 0, 0]) + bytes(palette)
+    gif += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    gif += bytes([0x40 if interlaced else 0, min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        gif += bytes([len(chunk)]) + chunk
+    gif += b"\x00\x3b"
+    return bytes(gif)
+
+
+def test_decode_gif_canonical_1x1():
+    from readability_php_spark.operators.multimodal import decode_gif, decode_image
+
+    # the classic smallest valid GIF: 1x1 white pixel
+    gif = bytes.fromhex(
+        "474946383961010001008000"
+        "00ffffff000000"
+        "2c000000000100010000"
+        "0202440100"
+        "3b"
+    )
+    assert decode_gif(gif) == (1, 1, b"\xff\xff\xff")
+    assert decode_image(gif) == (1, 1, b"\xff\xff\xff")  # magic dispatch
+
+
+def test_decode_gif_palette_and_interlace():
+    import pytest as _pytest
+
+    from readability_php_spark.operators.multimodal import decode_gif
+
+    palette = [0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255]
+    pixels = [0, 1, 2, 3, 3, 2, 1, 0, 0, 0, 1, 1, 2, 2, 3, 3]
+    w, h, rgb = decode_gif(_build_gif(4, 4, palette, pixels))
+    assert (w, h) == (4, 4)
+    want = b"".join(bytes(palette[3 * p:3 * p + 3]) for p in pixels)
+    assert rgb == want
+
+    # interlaced: decoded row stream 0,2,1,3 must land back in order
+    wi, hi, rgbi = decode_gif(_build_gif(4, 4, palette, pixels, interlaced=True))
+    rows = [rgbi[i * 12:(i + 1) * 12] for i in range(4)]
+    srows = [want[i * 12:(i + 1) * 12] for i in range(4)]
+    assert [rows[0], rows[2], rows[1], rows[3]] == srows
+
+    with _pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 5)  # truncated
+    with _pytest.raises(ValueError):
+        decode_gif(_build_gif(4, 4, palette, pixels)[:-10])  # short stream
