@@ -602,6 +602,46 @@ def q_outlink_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio round trip (the WET-gate technique): synthesize 16-bit PCM
+    WAV payloads from document codepoints in Arrow batches, parse them
+    back with the REAL stdlib RIFF/WAVE parser, and emit per-doc audio
+    stats; the oracle computes the same stats from the text directly, so
+    equality proves the container encode→parse round trip."""
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") < 200) & (F.length("text") > 0))
+    )
+
+    def batches(it):
+        from readability_php_spark.operators.multimodal import (
+            decode_wav,
+            pcm16_wav_bytes,
+        )
+
+        for pdf in it:
+            out = {"doc_id": [], "sample_rate": [], "channels": [],
+                   "n_samples": [], "rms": []}
+            for i in range(len(pdf)):
+                t = pdf["text"].iat[i]
+                samples = [min(ord(c), 32767) for c in t[:4096]]
+                sr, ch, n, rms = decode_wav(pcm16_wav_bytes(samples, 16000, 1))
+                out["doc_id"].append(pdf["doc_id"].iat[i])
+                out["sample_rate"].append(sr)
+                out["channels"].append(ch)
+                out["n_samples"].append(n)
+                out["rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        batches,
+        schema="doc_id long, sample_rate long, channels long, n_samples long, rms double",
+    ).orderBy("doc_id")
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet composition: bigram-LM score → head/middle/tail assignment by
     exact tercile-boundary elements (rank-fetched, tuple-compared — no
@@ -1083,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "chunk_documents": q_chunk_documents,
         "perplexity_buckets": q_perplexity_buckets,
+        "wav_features": q_wav_features,
         "quality_classifier": q_quality_classifier,
         "events_hourly": q_events_hourly,
         "rollup_stats": q_rollup_stats,
@@ -1851,6 +1892,24 @@ def oracle_sql() -> dict[str, str]:
         # mean log-prob per doc round-4; joins on raw strings (the Spark
         # side joins on xxhash64 keys — equality evidences no collisions)
         "ngram_lm_score": _LM_SCORE_SQL,
+        # wav_features: expected audio stats computed from the text itself;
+        # samples = codepoints (capped 32767), 16-bit PCM sum is exact in
+        # doubles (< 2^53) so the rms round-4 is order-independent
+        "wav_features": """
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id < 200 AND length(text) > 0),
+            s AS (
+              SELECT doc_id,
+                     list_transform(range(1, least(length(text), 4096) + 1),
+                       i -> least(unicode(substr(text, i, 1)), 32767)) AS sm
+              FROM d)
+            SELECT doc_id, 16000::BIGINT AS sample_rate, 1::BIGINT AS channels,
+                   len(sm)::BIGINT AS n_samples,
+                   round(sqrt(list_sum(list_transform(sm, x -> (x * x)::DOUBLE))
+                              / len(sm)), 4) AS rms
+            FROM s ORDER BY doc_id
+        """,
         # perplexity_buckets: rank desc by (score, id), boundary elements
         # at ceil(n/3)/ceil(2n/3), tuple-compare assignment (CCNet h/m/t)
         "perplexity_buckets": f"""

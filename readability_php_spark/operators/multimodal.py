@@ -405,3 +405,69 @@ def extract_media_features(media: DataFrame, *, fake_decode: bool = True) -> Dat
     return media.select("media_id", "kind", "payload").mapInPandas(
         batches, schema=FEATURE_SCHEMA
     )
+
+
+# --- audio: RIFF/WAVE (the one audio container the stdlib can do) ---------
+
+WAV_MAGIC = b"RIFF"
+
+
+def pcm16_wav_bytes(samples, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE writer: 16-bit little-endian PCM.  The encode
+    half of the audio round trip (the gate query synthesizes payloads with
+    it; swapping in real recordings changes nothing downstream)."""
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", max(-32768, min(32767, int(s)))) for s in samples
+    )
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """Real WAV parse with nothing but the stdlib: RIFF chunk walk →
+    ``fmt `` (PCM, 16-bit only) → ``data`` → ``(sample_rate, channels,
+    n_samples, rms)`` where rms = sqrt(mean(sample²)) rounded to 4
+    decimals (n_samples counts frames across channels).  Raises
+    ``ValueError`` on non-PCM, non-16-bit, or structural corruption."""
+    import math
+    import struct
+
+    if payload[:4] != WAV_MAGIC or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    sample_rate = channels = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        chunk = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_format, channels, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", chunk[:16]
+            )
+            if audio_format != 1:
+                raise ValueError(f"unsupported WAV format {audio_format} (PCM only)")
+            if bits != 16:
+                raise ValueError(f"unsupported WAV bit depth {bits}")
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)  # RIFF chunks pad to even
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if len(data) % 2:
+        raise ValueError("odd PCM data length")
+    n = len(data) // 2
+    if n == 0:
+        return sample_rate, channels, 0, 0.0
+    acc = 0
+    for i in range(0, len(data), 2):
+        s = int.from_bytes(data[i : i + 2], "little", signed=True)
+        acc += s * s
+    return sample_rate, channels, n, round(math.sqrt(acc / n), 4)

@@ -1717,3 +1717,34 @@ def test_decode_gif_palette_and_interlace():
         decode_gif(b"GIF89a" + b"\x00" * 5)  # truncated
     with _pytest.raises(ValueError):
         decode_gif(_build_gif(4, 4, palette, pixels)[:-10])  # short stream
+
+
+def test_decode_wav_roundtrip_and_errors():
+    import math
+    import struct
+
+    import pytest as _pytest
+
+    from readability_php_spark.operators.multimodal import (
+        decode_wav,
+        pcm16_wav_bytes,
+    )
+
+    samples = [0, 1000, -1000, 32767, -32768, 7]
+    sr, ch, n, rms = decode_wav(pcm16_wav_bytes(samples, 44100, 2))
+    assert (sr, ch, n) == (44100, 2, 6)
+    assert rms == round(math.sqrt(sum(s * s for s in samples) / 6), 4)
+    assert decode_wav(pcm16_wav_bytes([], 8000))[2:] == (0, 0.0)
+    # clamping: out-of-range samples saturate, not wrap
+    assert decode_wav(pcm16_wav_bytes([99999], 8000))[3] == 32767.0
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFX" + b"\x00" * 40)  # bad magic
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
+    # non-PCM format code rejected
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    bad = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+    with _pytest.raises(ValueError):
+        decode_wav(bad)
