@@ -156,6 +156,46 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
 
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+#: JPEG start-of-frame markers that carry dimensions (baseline through
+#: progressive/lossless variants); excludes DHT/DAC/RST which share the
+#: 0xC0 high nibble but are not frames.
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the first JPEG start-of-frame segment — a pure
+    marker-segment walk, no entropy decode.  Dimensions are the metadata a
+    curation filter needs (aspect/size gates) even though full JPEG pixel
+    decode stays behind NotImplementedError in this environment."""
+    if payload[:3] != JPEG_MAGIC:
+        raise ValueError("not a JPEG: bad signature")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2  # bare markers, no length field
+            continue
+        if marker == 0xD9:  # EOI before any frame
+            break
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if seg_len < 2:
+            raise ValueError("bad JPEG segment length")
+        if marker in _JPEG_SOF:
+            if pos + 9 > len(payload):
+                raise ValueError("truncated SOF segment")
+            height = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+            width = int.from_bytes(payload[pos + 7 : pos + 9], "big")
+            return width, height
+        if marker == 0xDA:  # entropy-coded data follows; no SOF seen
+            break
+        pos += 2 + seg_len
+    raise ValueError("JPEG has no SOF segment")
+
 
 def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
     """GIF-flavor LZW: variable-width codes (LSB-first bit packing),
@@ -390,6 +430,14 @@ def extract_media_features(media: DataFrame, *, fake_decode: bool = True) -> Dat
                         width, height, _ = decode_image(raw, fake=fake_decode)
                 except NotImplementedError:
                     err = "decoder_unavailable"
+                    if raw[:3] == JPEG_MAGIC:
+                        # pixels need a real JPEG decoder, but the frame
+                        # header still yields the curation-relevant dims
+                        try:
+                            width, height = jpeg_dimensions(raw)
+                            err = "pixels_unavailable"
+                        except ValueError as e:
+                            err = f"decode_error: {e}"
                 except ValueError as e:
                     err = f"decode_error: {e}"
                 out["media_id"].append(mid)

@@ -874,7 +874,37 @@ def test_media_features_real_png_gif_decode(spark):
     assert out[2].error.startswith("decode_error") and out[2].width is None
     assert out[3].error is None  # non-image kinds don't decode
     assert (out[4].width, out[4].height) == (4, 4) and out[4].error is None
-    assert out[5].error == "decoder_unavailable" and out[5].width is None
+    # JPEG magic but no SOF frame -> structural decode error, no dims
+    assert out[5].error.startswith("decode_error") and out[5].width is None
+
+
+def _make_jpeg_header(width, height):
+    """JPEG prefix up to and including a baseline SOF0 (no entropy data —
+    enough for dimension parsing, which never touches the pixel stream)."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof = (b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+           + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+           + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def test_jpeg_dimensions_and_media_path(spark):
+    import pytest as _pytest
+
+    from readability_php_spark.operators.multimodal import jpeg_dimensions
+
+    assert jpeg_dimensions(_make_jpeg_header(640, 480)) == (640, 480)
+    with _pytest.raises(ValueError):
+        jpeg_dimensions(b"\x89PNG")
+    with _pytest.raises(ValueError):
+        jpeg_dimensions(b"\xff\xd8\xff\xd9")  # EOI before any frame
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_make_jpeg_header(99, 44)))],
+        "media_id long, kind string, payload binary",
+    )
+    row = extract_media_features(media, fake_decode=False).collect()[0]
+    # dims real from the frame header; pixel decode honestly flagged
+    assert (row.width, row.height, row.error) == (99, 44, "pixels_unavailable")
 
 
 def test_try_read_parquet_missing_vs_corrupt(spark, tmp_path):
