@@ -1945,10 +1945,14 @@ def oracle_sql() -> dict[str, str]:
             st AS (
               SELECT doc_id, a, unnest(range(0, len(a), 48)) AS s
               FROM toks WHERE len(a) > 0),
+            -- drop trailing starts whose window is a strict suffix of the
+            -- previous one (mirror of chunk_documents' start filter)
+            st2 AS (
+              SELECT * FROM st WHERE s = 0 OR s + (64 - 48) < len(a)),
             ch AS (
               SELECT doc_id, (s // 48)::BIGINT AS chunk_id,
                      list_slice(a, s + 1, s + 64) AS ctoks
-              FROM st)
+              FROM st2)
             SELECT doc_id, chunk_id, len(ctoks)::BIGINT AS n_chunk_tokens,
                    md5(array_to_string(ctoks, ' ')) AS chunk_md5
             FROM ch ORDER BY doc_id, chunk_id

@@ -71,15 +71,25 @@ def main() -> None:
         from readability_php_spark.config import Configuration
         from readability_php_spark.operators.classify import train_logreg
         from readability_php_spark.operators.extract import extract_operator
+        from readability_php_spark.operators.scrub import scrub_pii
         from readability_php_spark.operators.text_analysis import hashed_tf_embedding
 
         labels = spark.read.parquet(args.quality_labels).select("url", "label")
         sample = pages.join(labels.select("url"), "url", "left_semi")
-        text = (
+        # Train on the SAME text transform the pipeline scores: extract →
+        # scrub_pii, so PII tokens present at training time aren't absent
+        # at scoring time (train/serve feature skew).  line_dedup is NOT
+        # replayed here — its line counts come from the full corpus and
+        # can't be reproduced on a seed set; the residual boilerplate-line
+        # skew is accepted (boilerplate is a tiny share of hashed-TF mass
+        # vs the PII/regex rewrites scrub_pii applies).
+        text = scrub_pii(
             extract_operator(sample, Configuration(substitute_entities=True))
             .filter(F.col("error").isNull())
-            .select("url", F.col("extracted_text").alias("text"))
-        )
+            .select("url", F.col("extracted_text").alias("text")),
+            text_col="text",
+            out_col="text_s",
+        ).select("url", F.col("text_s").alias("text"))
         feats = hashed_tf_embedding(
             text, text_col="text", id_col="url", dim=args.quality_dim
         ).join(labels, "url")

@@ -176,7 +176,14 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # JPEG permits any number of 0xFF fill bytes before a marker;
+        # skip them so the padding byte isn't misread as the marker and
+        # the following bytes as a bogus segment length
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
+        if marker == 0xFF:  # trailing fill bytes ran off the buffer
+            break
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             pos += 2  # bare markers, no length field
             continue

@@ -120,6 +120,10 @@ def chunk_documents(
     text).  Emits ``(id, chunk_id, n_chunk_tokens, chunk_text)``; chunk 0
     starts at token 0, chunk k at token k*stride, and the last window may
     be short.  Token = whitespace run, matching token_count/text_analysis.
+    Once a window reaches the document's end no further starts are
+    emitted: with stride < max_tokens the next window would be a strict
+    suffix of it (already fully covered), and duplicated tail text in the
+    training stream is exactly what chunking must not introduce.
 
     This is the upstream complement of ``pack_documents``: chunking cuts
     oversized documents DOWN to the context budget, packing stitches
@@ -143,8 +147,15 @@ def chunk_documents(
     base = docs.select(F.col(id_col).alias("id"), toks.alias("a")).filter(
         F.size("a") > 0
     )
-    # window starts 0, stride, 2*stride, ... < n  (1-based for slice)
-    starts = F.expr(f"sequence(0, size(a) - 1, {stride})")
+    # window starts 0, stride, 2*stride, ... < n  (1-based for slice),
+    # stopping once a window covers the end: a start s > 0 whose
+    # predecessor already reached n (s - stride + max_tokens >= n) would
+    # emit a strict suffix of that predecessor
+    starts = F.filter(
+        F.expr(f"sequence(0, size(a) - 1, {stride})"),
+        lambda s: (s == F.lit(0))
+        | (s + F.lit(max_tokens - stride) < F.size("a")),
+    )
     chunks = base.select(
         "id",
         F.posexplode(

@@ -404,6 +404,72 @@ def hashed_tf_embedding(
     )
 
 
+def _rank_boundaries(
+    scored: DataFrame,
+    ranks: "tuple[int, ...]",
+    score_col: str,
+    id_col: str,
+    plan_sink: "list | None" = None,
+) -> list:
+    """Exact ``(score, id)`` element at each 1-based global DESCENDING
+    rank, WITHOUT a global single-partition sort.
+
+    Shape: range-repartition on the sort key (globally ordered partitions
+    of ~n/P rows each), count rows per partition (bounded collect — one
+    long per partition), convert each global rank to (partition, local
+    rank) by prefix sums, then fetch the boundary rows with a window
+    PARTITIONED by partition id — every task sorts only its own slice; no
+    stage funnels the corpus through one task.  Returns boundaries in
+    ``ranks`` order."""
+    from pyspark.sql.window import Window
+
+    spark = scored.sparkSession
+    num_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 8)
+    part = (
+        scored.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_s"))
+        .repartitionByRange(num_parts, F.desc("_s"), F.desc("_id"))
+        .withColumn("_p", F.spark_partition_id())
+        # persisted so the count action and the boundary fetch see the
+        # SAME physical placement (range boundaries are sampled per plan
+        # execution; the cache pins one outcome)
+        .persist()
+    )
+    try:
+        counts = {
+            r["_p"]: r["n"]
+            for r in part.groupBy("_p").agg(F.count("*").alias("n")).collect()
+        }
+        # range partitions are emitted in key order → prefix-sum offsets
+        offset, offsets = 0, {}
+        for p in sorted(counts):
+            offsets[p] = offset
+            offset += counts[p]
+        # global rank k lives in partition p at local rank k - offsets[p]
+        targets: dict = {}
+        for k in ranks:
+            for p in sorted(counts):
+                if offsets[p] < k <= offsets[p] + counts[p]:
+                    targets.setdefault((p, k - offsets[p]), []).append(k)
+                    break
+        cond = None
+        for p, lr in targets:
+            c = (F.col("_p") == p) & (F.col("_lr") == lr)
+            cond = c if cond is None else (cond | c)
+        w = Window.partitionBy("_p").orderBy(F.desc("_s"), F.desc("_id"))
+        fetch = part.withColumn("_lr", F.row_number().over(w)).filter(cond)
+        if plan_sink is not None:  # test hook: physical plan of the fetch
+            plan_sink.append(
+                fetch._jdf.queryExecution().executedPlan().toString()
+            )
+        by_rank = {}
+        for r in fetch.collect():
+            for k in targets[(r["_p"], r["_lr"])]:
+                by_rank[k] = (r["_s"], r["_id"])
+        return [by_rank[k] for k in ranks]
+    finally:
+        part.unpersist()
+
+
 def score_buckets(
     scored: DataFrame,
     score_col: str = "lm_score",
@@ -417,37 +483,27 @@ def score_buckets(
     Deterministic and exactly replayable cross-engine — no float
     quantile interpolation.
 
-    Scale shape: the ranking window exists only to FETCH the two boundary
-    rows (bounded driver data); assignment itself is a broadcast tuple
-    comparison, a narrow map.  At 10^12 docs, estimate the boundaries on
-    a ``hash_sample`` of the scored set (CCNet fits its perplexity
-    cutoffs on a sample too) and assign the full corpus with the same
-    comparison — this function composes with sampling.py unchanged."""
-    from pyspark.sql.window import Window
-
-    # persisted for the two boundary actions (count + rank fetch); the
-    # returned assignment recomputes the scored plan once at action time,
-    # after the unpersist — callers that reuse it should persist themselves
+    Scale shape: boundary location is distributed — range-repartition on
+    the sort key, per-partition counts, then a partition-local ranking
+    window (see :func:`_rank_boundaries`); no stage sorts the corpus in a
+    single task.  Assignment itself is a broadcast tuple comparison, a
+    narrow map.  At 10^12 docs the same code holds; optionally estimate
+    the boundaries on a ``hash_sample`` of the scored set first (CCNet
+    fits its perplexity cutoffs on a sample too) — this function composes
+    with sampling.py unchanged."""
+    # persisted for the boundary actions (count + partition counts +
+    # boundary fetch); the returned assignment recomputes the scored plan
+    # once at action time, after the unpersist — callers that reuse it
+    # should persist themselves
     scored = scored.persist()
     n = scored.count()  # bounded: one long
     if n == 0:
         scored.unpersist()
-        return scored.select(
-            F.col(id_col), F.col(score_col), F.lit(names[1]).alias("bucket")
-        ).limit(0)
-    ranked = scored.select(
-        F.col(id_col).alias("_id"),
-        F.col(score_col).alias("_s"),
-        F.row_number()
-        .over(Window.orderBy(F.desc(score_col), F.desc(id_col)))
-        .alias("_r"),
-    )
+        # limit(0) on the full projection keeps the empty path's schema
+        # identical to the non-empty path (all input columns + bucket)
+        return scored.withColumn("bucket", F.lit(names[1])).limit(0)
     k1, k2 = -(-n // 3), -(-2 * n // 3)  # ceil
-    bounds = {
-        r["_r"]: (r["_s"], r["_id"])
-        for r in ranked.filter(F.col("_r").isin(k1, k2)).collect()
-    }
-    b1, b2 = bounds[k1], bounds[k2]
+    b1, b2 = _rank_boundaries(scored, (k1, k2), score_col, id_col)
     scored.unpersist()
 
     def at_least(bound):

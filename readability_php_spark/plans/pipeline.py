@@ -108,7 +108,13 @@ def _try_read_parquet(spark: SparkSession, path: str) -> Optional[DataFrame]:
         get_cond = getattr(e, "getCondition", None) or getattr(
             e, "getErrorClass", lambda: None
         )
-        if (get_cond() or "") == "PATH_NOT_FOUND":
+        cond = get_cond() or ""
+        if cond == "PATH_NOT_FOUND":
+            return None
+        # older Spark builds surface missing paths without an error class
+        # (or under a legacy one); match the message so a first run of a
+        # resumable pipeline still maps "no output yet" → None there
+        if not cond and "Path does not exist" in str(e):
             return None
         raise
 

@@ -898,6 +898,12 @@ def test_jpeg_dimensions_and_media_path(spark):
         jpeg_dimensions(b"\x89PNG")
     with _pytest.raises(ValueError):
         jpeg_dimensions(b"\xff\xd8\xff\xd9")  # EOI before any frame
+    # 0xFF fill bytes before a marker are legal padding — the walk must
+    # skip them, not misread 0xFF as the marker byte
+    hdr = _make_jpeg_header(31, 17)
+    sof_at = hdr.index(b"\xff\xc0")
+    padded = hdr[:sof_at] + b"\xff\xff\xff" + hdr[sof_at:]
+    assert jpeg_dimensions(padded) == (31, 17)
     media = spark.createDataFrame(
         [(1, "image", bytearray(_make_jpeg_header(99, 44)))],
         "media_id long, kind string, payload binary",
@@ -1647,10 +1653,12 @@ def test_chunk_documents_windows(spark):
         (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
         for r in chunk_documents(df, max_tokens=4, stride=3).collect()
     }
-    # doc 1 (7 tokens): windows at 0, 3, 6 -> overlap of 1 token each
+    # doc 1 (7 tokens): windows at 0 and 3; the start at 6 is dropped —
+    # window 1 already reaches the end, so "g" would be a strict suffix
+    # (duplicated tail text), per the suffix-window rule
     assert got[(1, 0)] == (4, "a b c d")
     assert got[(1, 1)] == (4, "d e f g")
-    assert got[(1, 2)] == (1, "g")  # short last window
+    assert not any(k == (1, 2) for k in got)
     assert got[(2, 0)] == (2, "x y")
     assert not any(k[0] == 3 for k in got)  # token-less doc: no chunks
     # chunk->pack composition: every chunk fits the budget by construction
@@ -1672,6 +1680,42 @@ def test_score_buckets_terciles_and_ties(spark):
     # single doc -> head (boundaries coincide)
     one = spark.createDataFrame([(9, 1.0)], "doc_id long, lm_score double")
     assert [r.bucket for r in score_buckets(one).collect()] == ["head"]
+
+
+def test_score_buckets_empty_schema_matches_nonempty(spark):
+    from readability_php_spark.operators.text_analysis import score_buckets
+
+    df = spark.createDataFrame(
+        [(1, 0.5, "x")], "doc_id long, lm_score double, extra string"
+    )
+    full = score_buckets(df)
+    empty = score_buckets(df.limit(0))
+    # both paths: ALL input columns + bucket, same order/types
+    assert empty.schema == full.schema
+    assert empty.count() == 0
+
+
+def test_rank_boundaries_distributed_exact_and_plan(spark):
+    """_rank_boundaries must agree with a driver-side global sort AND its
+    boundary-fetch plan must not funnel the corpus through one task (no
+    SinglePartition exchange / unpartitioned window)."""
+    import random
+
+    from readability_php_spark.operators.text_analysis import _rank_boundaries
+
+    rng = random.Random(7)
+    # duplicate scores across partition boundaries to stress tie handling
+    rows = [(i, float(rng.randrange(40)) / 10.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lm_score double").repartition(16)
+    order = sorted(rows, key=lambda r: (-r[1], -r[0]))
+    ranks = (1, 167, 334, 500)
+    sink: list = []
+    got = _rank_boundaries(df, ranks, "lm_score", "doc_id", plan_sink=sink)
+    want = [(order[k - 1][1], order[k - 1][0]) for k in ranks]
+    assert got == want
+    (plan,) = sink
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(_p" in plan  # window is partition-local
 
 
 def _build_gif(w, h, palette, pixels, interlaced=False, min_code=2):
