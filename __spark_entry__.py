@@ -679,6 +679,38 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_id")
 
 
+def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk→pack composition run_training_prep offers ("chunk down,
+    then pack up"): 64-token windows at stride 48, then deterministic
+    prefix-sum packing of the CHUNKS into 256-token sequences per lang.
+    The unit key is doc_id*1000+chunk_id — numeric, dense, and replayable
+    in the oracle, which chains the chunk CTE into the three-line packing
+    law."""
+    from readability_php_spark.operators.packing import chunk_documents, pack_documents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    ).filter(F.col("doc_id") < 200)
+    ch = chunk_documents(docs, max_tokens=64, stride=48).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    units = ch.select(
+        "lang",
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("unit_id"),
+        F.col("n_chunk_tokens").alias("n_tokens"),
+    )
+    return pack_documents(
+        units, budget=256, group_cols=("lang",), order_col="unit_id",
+        tokens_col="n_tokens",
+    ).select(
+        "lang",
+        F.col("unit_id").cast("long").alias("unit_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "pack_id",
+        "oversize",
+    ).orderBy("lang", "unit_id")
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text corpus per target host (snippet-paired href+text, inner
     markup stripped): the oracle replays snippet extraction, text
@@ -1122,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": q_duplicated_spans,
         "anchor_texts": q_anchor_texts,
         "chunk_documents": q_chunk_documents,
+        "chunk_pack": q_chunk_pack,
         "perplexity_buckets": q_perplexity_buckets,
         "wav_features": q_wav_features,
         "quality_classifier": q_quality_classifier,
@@ -2093,6 +2126,33 @@ def oracle_sql() -> dict[str, str]:
                    (prefix // 20000)::BIGINT AS pack_id,
                    n_chars > 20000 AS oversize
             FROM p ORDER BY lang, doc_id
+        """,
+        # chunk→pack composition: the chunk CTE (with the suffix-window
+        # filter) chained into the same prefix-sum // budget packing law
+        "chunk_pack": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS a
+              FROM documents WHERE doc_id < 200),
+            st AS (
+              SELECT doc_id, lang, a, unnest(range(0, len(a), 48)) AS s
+              FROM toks WHERE len(a) > 0),
+            st2 AS (
+              SELECT * FROM st WHERE s = 0 OR s + (64 - 48) < len(a)),
+            u AS (
+              SELECT lang, doc_id * 1000 + (s // 48) AS unit_id,
+                     len(list_slice(a, s + 1, s + 64)) AS n_tokens
+              FROM st2),
+            p AS (
+              SELECT lang, unit_id, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY lang ORDER BY unit_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens AS prefix
+              FROM u)
+            SELECT lang, unit_id::BIGINT AS unit_id, n_tokens::BIGINT AS n_tokens,
+                   (prefix // 256)::BIGINT AS pack_id,
+                   n_tokens > 256 AS oversize
+            FROM p ORDER BY lang, unit_id
         """,
         # hierarchical packing: same prefix-sum law per (lang, bucket)
         "pack_documents_bucketed": """

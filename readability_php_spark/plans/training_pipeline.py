@@ -84,6 +84,8 @@ def run_training_prep(
     fuzzy_bands: int = 4,
     classifier: Optional[tuple] = None,
     classifier_threshold: float = 0.5,
+    chunk_max_tokens: Optional[int] = None,
+    chunk_stride: Optional[int] = None,
 ) -> PrepResult:
     """pages(url, html[, lang]) → packed training rows at ``output_path``
     (parquet, partitioned by split), plus conservation metrics.
@@ -99,24 +101,47 @@ def run_training_prep(
     below ``classifier_threshold`` on hashed-TF features (dim =
     ``len(weights)``) are dropped after line dedup.  The stage adds the
     embedding's two compact-key shuffles; scoring itself is a broadcast
-    map."""
+    map.
+
+    ``chunk_max_tokens`` enables the chunk→pack composition ("chunk down,
+    then pack up"): after the token/quality filters, each document is cut
+    into ``chunk_max_tokens``-token windows advancing ``chunk_stride``
+    (see :func:`~readability_php_spark.operators.packing.chunk_documents`)
+    and the CHUNKS are what packing stitches into sequences.  The split
+    stays keyed on the PARENT url, so every chunk of a document lands in
+    one split — overlapping windows of the same text never straddle
+    train/val/test.
+
+    Telemetry discipline: no action exists solely to drive a counter on
+    an unpersisted input.  docs_in/docs_extracted come from ONE aggregate
+    over the persisted extraction output (which every later stage reuses
+    from cache); docs_after_dedup is the materializing action of the
+    persisted dedup output; docs_final/split_counts come from reading
+    back the written parquet."""
     tune_session_for_extraction(spark)
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
-    docs_in = pages.count()
 
     has_lang = "lang" in pages.columns
     extracted = extract_operator(
         pages,
         config or Configuration(substitute_entities=True),
         carry=("lang",) if has_lang else (),
-    ).filter(F.col("error").isNull())
-    docs = extracted.select(
+    ).select(
         "url",
+        "error",
         F.col("extracted_text").alias("text"),
         (F.col("lang") if has_lang else F.lit("und")).alias("lang"),
     )
-    docs = docs.persist()
-    docs_extracted = docs.count()
+    # persist PRE-filter so one aggregate yields both pages-in and
+    # extracted-ok counts (extract emits exactly one row per input page);
+    # the slim projection keeps the cache at text-size, not html-size
+    extracted = extracted.persist()
+    _c = extracted.agg(
+        F.count("*").alias("n_in"),
+        F.count(F.when(F.col("error").isNull(), 1)).alias("n_ok"),
+    ).first()
+    docs_in, docs_extracted = _c["n_in"], _c["n_ok"]
+    docs = extracted.filter(F.col("error").isNull()).select("url", "text", "lang")
 
     scrubbed = scrub_pii(docs, text_col="text", out_col="text_s").select(
         "url", F.col("text_s").alias("text"), "lang"
@@ -137,6 +162,10 @@ def run_training_prep(
     cleaned = line_dedup(
         unique_docs, text_col="text", id_col="url", min_count=line_min_count
     ).join(unique_docs.select("url", "lang"), "url")
+    # the count doubles as the cache-materializing action; every
+    # downstream branch (tokens, split, pack, pack-text join) reads the
+    # cached dedup output instead of recomputing the whole dedup chain
+    cleaned = cleaned.persist()
     docs_after_dedup = cleaned.count()
 
     with_tokens = cleaned.select(
@@ -159,11 +188,46 @@ def run_training_prep(
         # so the semi join filters on score alone
         with_tokens = with_tokens.join(keep, "url", "left_semi")
 
-    split = hash_split(with_tokens, fractions, key_col="url")
+    if chunk_max_tokens is not None:
+        from ..operators.packing import chunk_documents
+
+        # chunk down, then pack up: the packing unit becomes the chunk,
+        # keyed "url#chunk_id" (globally unique — url is, and chunk_id is
+        # dense per url).  parent_url keeps document lineage and is the
+        # split key below.
+        chunks = chunk_documents(
+            with_tokens,
+            max_tokens=chunk_max_tokens,
+            stride=chunk_stride,
+            text_col="text",
+            id_col="url",
+        )
+        units = chunks.join(with_tokens.select("url", "lang"), "url").select(
+            F.concat(
+                F.col("url"), F.lit("#"), F.col("chunk_id").cast("string")
+            ).alias("unit_id"),
+            F.col("url").alias("parent_url"),
+            "lang",
+            F.col("chunk_text").alias("text"),
+            F.col("n_chunk_tokens").alias("n_tokens"),
+        )
+    else:
+        units = with_tokens.select(
+            F.col("url").alias("unit_id"),
+            F.col("url").alias("parent_url"),
+            "lang",
+            "text",
+            "n_tokens",
+        )
+
+    # split on the PARENT url: chunks of one document (overlapping text)
+    # must never straddle train/val/test
+    split = hash_split(units, fractions, key_col="parent_url")
     packed = pack_documents(
         split, budget=pack_budget, group_cols=("split", "lang"),
-        order_col="url", tokens_col="n_tokens",
-    ).join(split.select("url", "text"), "url")
+        order_col="unit_id", tokens_col="n_tokens",
+    ).join(split.select("unit_id", "parent_url", "text"), "unit_id")
+    packed = packed.withColumnRenamed("unit_id", "url")
     # doc_id: sortable convenience for downstream consumers, NOT a key
     packed = packed.withColumn("doc_id", F.xxhash64("url"))
 
@@ -190,7 +254,8 @@ def run_training_prep(
         if (get_cond() or "") != "UNABLE_TO_INFER_SCHEMA":
             raise
         split_counts = {}
-    docs.unpersist()
+    extracted.unpersist()
+    cleaned.unpersist()
     return PrepResult(
         output_path=output_path,
         docs_in=docs_in,

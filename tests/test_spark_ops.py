@@ -301,6 +301,50 @@ def test_training_prep_fuzzy_off(spark, tmp_path):
     assert res.docs_after_dedup == 31  # near-dup NOT collapsed
 
 
+def test_training_prep_chunk_then_pack(spark, tmp_path):
+    """chunk_max_tokens composes chunk→pack: every packed row fits the
+    window, chunk rows key as url#k with the parent url carried, chunks of
+    one document share a split, and chunking CHANGES pack contents vs the
+    unchunked run."""
+    from readability_php_spark.plans.training_pipeline import run_training_prep
+
+    pages = documents_corpus_df(spark, SF).filter(F.col("doc_id") < 60).select(
+        "url", "html"
+    )
+    plain_dir = str(tmp_path / "plain")
+    chunk_dir = str(tmp_path / "chunked")
+    plain = run_training_prep(
+        spark, pages, plain_dir, min_tokens=10, pack_budget=120, fuzzy=False,
+    )
+    chunked = run_training_prep(
+        spark, pages, chunk_dir, min_tokens=10, pack_budget=120, fuzzy=False,
+        chunk_max_tokens=40, chunk_stride=30,
+    )
+    # same docs survive dedup/filters either way; chunking multiplies rows
+    assert chunked.docs_after_dedup == plain.docs_after_dedup
+    assert chunked.docs_final > plain.docs_final
+    out = spark.read.parquet(chunk_dir)
+    rows = out.collect()
+    # every packing unit fits the context window now (the unchunked run
+    # has docs over 40 tokens — that's what chunking is for)
+    assert all(r.n_tokens <= 40 for r in rows)
+    plain_rows = spark.read.parquet(plain_dir).collect()
+    assert any(r.n_tokens > 40 for r in plain_rows)
+    # unit keys are url#chunk_id with parent lineage intact
+    assert all("#" in r.url and r.url.split("#")[0] == r.parent_url for r in rows)
+    # no document's chunks straddle splits (parent-keyed hash split)
+    by_parent = {}
+    for r in rows:
+        by_parent.setdefault(r.parent_url, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_parent.values())
+    # chunk 0 of each kept doc is present and ids are dense from 0
+    for parent in list(by_parent)[:5]:
+        ids = sorted(
+            int(r.url.split("#")[1]) for r in rows if r.parent_url == parent
+        )
+        assert ids == list(range(len(ids)))
+
+
 def test_contamination_flags(spark):
     from readability_php_spark.operators.dedup import contamination_flags
 
