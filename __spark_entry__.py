@@ -1094,16 +1094,69 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload → Arrow-batched feature extract
-    (deterministic fake decode).  The ``features: array<float>`` column is
-    projected out here — the driver canonicalizer can't hash ndarrays — and
-    everything that remains (md5 fingerprint, byte length, fake decode
-    arithmetic) is DuckDB-reproducible, so this has a full value oracle."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = synthetic_media_df(spark, docs)
+    """REAL image decode round trip (the WET/WAV-gate technique): Arrow
+    batches synthesize genuine PNG / GIF / baseline-JPEG payloads from
+    document codepoints, ``extract_media_features(fake_decode=False)``
+    decodes them with the stdlib decoders, and the gate surfaces the
+    decoded width/height and the exact DECODED-pixel byte sum.  The
+    oracle recomputes all three in closed form (PNG is lossless, GIF is a
+    palette lookup, and the JPEG payloads are solid-gray images whose
+    DC-step-8 quantization reconstructs the input value exactly) — a hash
+    match therefore proves the pixel values came out of
+    decode_png/decode_gif/decode_jpeg, not header or byte-length
+    arithmetic."""
+    import pandas as pd
+
+    from readability_php_spark.operators.multimodal import MEDIA_SCHEMA
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") < 120) & (F.length("text") > 0))
+    )
+
+    def batches(it):
+        from readability_php_spark.operators.jpeg import encode_jpeg
+        from readability_php_spark.operators.multimodal import (
+            encode_gif,
+            encode_png,
+        )
+
+        pal = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220])
+        for pdf in it:
+            out = {"media_id": [], "kind": [], "payload": []}
+            for i in range(len(pdf)):
+                did = int(pdf["doc_id"].iat[i])
+                cps = [ord(ch) % 256 for ch in pdf["text"].iat[i][:48]]
+                L = len(cps)
+                sel = did % 3
+                if sel == 0:
+                    w, h = 4 + did % 5, 3 + did % 4
+                    pix = bytes(cps[j % L] for j in range(w * h * 3))
+                    payload = encode_png(w, h, pix, color_type=2)
+                elif sel == 1:
+                    w, h = 5 + did % 4, 4 + did % 3
+                    idx = bytes(cps[j % L] % 4 for j in range(w * h))
+                    payload = encode_gif(w, h, pal, idx)
+                else:
+                    v = (did * 7) % 256
+                    w, h = 9 + did % 8, 7 + did % 5
+                    payload = encode_jpeg(w, h, bytes([v]) * (w * h), channels=1)
+                out["media_id"].append(did)
+                out["kind"].append("image")
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("gif"), F.lit("jpeg")),
+        (F.col("media_id") % 3).cast("int") + 1,
+    )
     return (
-        extract_media_features(media)
-        .select("media_id", "kind", "n_bytes", "fingerprint", "width", "height", "error")
+        extract_media_features(media, fake_decode=False)
+        .select(
+            "media_id", fmt.alias("fmt"), "width", "height", "pixel_sum", "error"
+        )
         .orderBy("media_id")
     )
 
@@ -2461,22 +2514,46 @@ def oracle_sql() -> dict[str, str]:
         # media_features: payload = UTF-8 bytes of text (synthetic_media_df),
         # fake decode arithmetic per operators/multimodal.py:73-76 —
         # everything is pure SQL over length/md5 of the text bytes.
+        # media_features: closed-form replay of the REAL decode.  PNG is
+        # lossless (pixel bytes = cycled text codepoints % 256); GIF is a
+        # 4-entry palette lookup (per-index RGB triplet sums 60/150/240/
+        # 630); the JPEG fixtures are solid-gray images whose DC-step-8
+        # quantization reconstructs the input value v exactly, so
+        # pixel_sum = v·w·h.  Matching sums prove decoded pixels, not
+        # header arithmetic.
         "media_features": """
-            WITH m AS (
-              SELECT doc_id AS media_id,
-                     CASE WHEN doc_id % 3 = 0 THEN 'image'
-                          WHEN doc_id % 3 = 1 THEN 'audio'
-                          ELSE 'video' END AS kind,
-                     octet_length(encode(text))::BIGINT AS n_bytes,
-                     md5(text) AS fingerprint
-              FROM documents)
-            SELECT media_id, kind, n_bytes, fingerprint,
-                   CASE WHEN kind = 'image'
-                        THEN ((n_bytes % 640) + 16)::INTEGER END AS width,
-                   CASE WHEN kind = 'image'
-                        THEN ((n_bytes % 480) + 16)::INTEGER END AS height,
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id < 120 AND length(text) > 0),
+            c AS (
+              SELECT doc_id,
+                     list_transform(range(1, least(length(text), 48) + 1),
+                       i -> unicode(substr(text, i, 1)) % 256) AS cps
+              FROM d),
+            g AS (
+              SELECT doc_id, cps, len(cps) AS L, doc_id % 3 AS sel,
+                     CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 5
+                                     WHEN 1 THEN 5 + doc_id % 4
+                                     ELSE 9 + doc_id % 8 END AS w,
+                     CASE doc_id % 3 WHEN 0 THEN 3 + doc_id % 4
+                                     WHEN 1 THEN 4 + doc_id % 3
+                                     ELSE 7 + doc_id % 5 END AS h
+              FROM c)
+            SELECT doc_id AS media_id,
+                   CASE sel WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                            ELSE 'jpeg' END AS fmt,
+                   w::INTEGER AS width, h::INTEGER AS height,
+                   (CASE sel
+                     WHEN 0 THEN list_sum(list_transform(range(0, w * h * 3),
+                                   i -> cps[(i % L) + 1]))
+                     WHEN 1 THEN list_sum(list_transform(range(0, w * h),
+                                   i -> CASE cps[(i % L) + 1] % 4
+                                        WHEN 0 THEN 60 WHEN 1 THEN 150
+                                        WHEN 2 THEN 240 ELSE 630 END))
+                     ELSE ((doc_id * 7) % 256) * w * h
+                    END)::BIGINT AS pixel_sum,
                    NULL::VARCHAR AS error
-            FROM m ORDER BY media_id
+            FROM g ORDER BY media_id
         """,
     }
 

@@ -1,14 +1,16 @@
 """Multimodal column operators (image/audio/video as opaque binary).
 
 The Spark-side plumbing is real and tested — schemas, partitioning, Arrow
-batch shapes, ``mapInPandas`` signatures.  PNG and GIF — the dominant
-lossless web formats — decode for REAL via stdlib-only decoders
+batch shapes, ``mapInPandas`` signatures.  PNG, GIF, and baseline JPEG —
+the dominant web image formats — decode for REAL via stdlib-only decoders
 (``decode_png``: chunk walk, zlib inflate, scanline unfilter;
-``decode_gif``: color tables, LZW, deinterlace).  JPEG/audio/video codecs need
-libraries this container doesn't ship, so those paths raise
-``NotImplementedError`` unless a deterministic fake is requested; swapping
-them for PIL/ffmpeg is a one-function change and everything around them
-(batching, schema, metadata propagation) is production-shaped.
+``decode_gif``: color tables, LZW, deinterlace; ``jpeg.decode_jpeg``:
+Huffman entropy decode, dequant, IDCT, chroma upsample).  Progressive
+JPEG, image resize, and video frame extraction need libraries this
+container doesn't ship, so those paths raise ``NotImplementedError``
+unless a deterministic fake is requested; swapping them for PIL/ffmpeg is
+a one-function change and everything around them (batching, schema,
+metadata propagation) is production-shaped.
 
 Pattern (north rule §multimodal): binary payload column + typed metadata
 struct; heavy per-item work in Arrow-batched ``mapInPandas`` with
@@ -49,6 +51,10 @@ FEATURE_SCHEMA = StructType([
     StructField("features", ArrayType(FloatType()), True),
     StructField("width", IntegerType(), True),
     StructField("height", IntegerType(), True),
+    #: sum of the DECODED pixel buffer's bytes (None when no decode ran) —
+    #: an exact integer the oracle gate can recompute, proving the values
+    #: came out of the real decoders rather than header arithmetic
+    StructField("pixel_sum", LongType(), True),
     StructField("error", StringType(), True),
 ])
 
@@ -154,7 +160,87 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(out)
 
 
+def encode_png(width: int, height: int, pixels: bytes, color_type: int = 2) -> bytes:
+    """Minimal PNG writer (filter-0 scanlines, one IDAT) — the fixture-
+    builder twin of :func:`decode_png`, same role :func:`pcm16_wav_bytes`
+    plays for WAV: gates synthesize REAL payloads with it and prove the
+    decoder recovers the exact pixels."""
+    import struct
+
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise ValueError("pixel buffer size mismatch")
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw += pixels[y * stride : (y + 1) * stride]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def encode_gif(width: int, height: int, palette: bytes, indices: bytes,
+               min_code: int = 2) -> bytes:
+    """Minimal GIF89a writer (all-literal LZW codes, global color table) —
+    fixture-builder twin of :func:`decode_gif`.  ``palette`` is RGB
+    triplets (padded to a power-of-two entry count), ``indices`` one byte
+    per pixel."""
+    if len(indices) != width * height:
+        raise ValueError("index buffer size mismatch")
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes = [clear] + list(indices) + [end]
+    # emit codes at the decoder's variable width schedule (dictionary
+    # grows even though we never reference compound entries)
+    bits: list = []
+    size = min_code + 1
+    next_code = end + 1
+    had_prev = False
+    for c in codes:
+        bits.extend((c >> b) & 1 for b in range(size))
+        if c == clear:
+            size, next_code, had_prev = min_code + 1, end + 1, False
+        elif c != end:
+            if had_prev and next_code < 4096:
+                next_code += 1
+                if next_code == (1 << size) and size < 12:
+                    size += 1
+            had_prev = True
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        data.append(sum(b << j for j, b in enumerate(bits[i : i + 8])))
+    n_entries = len(palette) // 3
+    k = max(1, (n_entries - 1).bit_length()) - 1  # table holds 2^(k+1)
+    full = bytearray(palette)
+    full += bytes(3 * ((1 << (k + 1)) - n_entries))
+    gif = bytearray(b"GIF89a")
+    gif += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    gif += bytes([0x80 | k, 0, 0]) + bytes(full)
+    gif += b"\x2c" + b"\x00" * 4
+    gif += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    gif += bytes([0, min_code])
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        gif += bytes([len(blk)]) + blk
+    gif += b"\x00\x3b"
+    return bytes(gif)
+
 
 JPEG_MAGIC = b"\xff\xd8\xff"
 
@@ -335,19 +421,25 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
 
 
 def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int, bytes]:
-    """PNG and GIF payloads decode for REAL (stdlib-only — see
-    ``decode_png`` / ``decode_gif``); other formats need an image library
-    this container doesn't ship, so they raise ``NotImplementedError``
-    unless ``fake=True`` requests the deterministic pseudo-decode
-    (dimensions derived from byte length) that the plumbing tests and the
-    synthetic-corpus oracle use."""
+    """PNG, GIF, and baseline JPEG payloads decode for REAL (stdlib-only —
+    see ``decode_png`` / ``decode_gif`` / ``jpeg.decode_jpeg``); other
+    formats need an image library this container doesn't ship, so they
+    raise ``NotImplementedError`` unless ``fake=True`` requests the
+    deterministic pseudo-decode (dimensions derived from byte length) that
+    the plumbing tests use.  Progressive/arithmetic JPEG raises
+    ``JpegPixelsUnavailable`` (a ``NotImplementedError``) so callers can
+    fall back to header-only dimensions."""
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
     if payload[:6] in GIF_MAGICS:
         return decode_gif(payload)
+    if payload[:3] == JPEG_MAGIC:
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if not fake:
         raise NotImplementedError(
-            "non-PNG/GIF image decode requires PIL/libvips; not available in this environment"
+            "non-PNG/GIF/JPEG image decode requires PIL/libvips; not available in this environment"
         )
     n = len(payload)
     width = (n % 640) + 16
@@ -431,10 +523,11 @@ def extract_media_features(media: DataFrame, *, fake_decode: bool = True) -> Dat
                 raw = pdf["payload"].iat[i]
                 raw = bytes(raw) if raw is not None else b""
                 err = None
-                width = height = None
+                width = height = pixel_sum = None
                 try:
                     if kind == "image":
-                        width, height, _ = decode_image(raw, fake=fake_decode)
+                        width, height, pix = decode_image(raw, fake=fake_decode)
+                        pixel_sum = sum(pix)
                 except NotImplementedError:
                     err = "decoder_unavailable"
                     if raw[:3] == JPEG_MAGIC:
@@ -454,6 +547,7 @@ def extract_media_features(media: DataFrame, *, fake_decode: bool = True) -> Dat
                 out["features"].append(_byte_histogram_features(raw))
                 out["width"].append(width)
                 out["height"].append(height)
+                out["pixel_sum"].append(pixel_sum)
                 out["error"].append(err)
             yield pd.DataFrame(out)
 

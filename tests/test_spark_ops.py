@@ -45,19 +45,8 @@ CFG = Configuration(
 )
 
 
-@pytest.fixture(scope="session")
-def spark():
-    s = (
-        SparkSession.builder.master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.driver.memory", "4g")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.log.level", "ERROR")
-        .getOrCreate()
-    )
-    yield s
-    s.stop()
+# the session-scoped `spark` fixture lives in conftest.py (shared with
+# test_jpeg.py and any future Spark-touching test module)
 
 
 def test_extract_operator_roundtrip(spark):
@@ -897,8 +886,12 @@ def test_decode_png_rejects_unsupported():
            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)))
     with pytest.raises(ValueError):
         decode_png(bad)
-    # non-PNG without fake= still raises NotImplementedError
+    # a format with no decoder (e.g. WebP/RIFF) still raises
+    # NotImplementedError without fake=; JPEG now decodes for real, so a
+    # corrupt JPEG-magic payload is a ValueError instead
     with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF....WEBPVP8 ")
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff jpeg-ish")
 
 
