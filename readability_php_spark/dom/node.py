@@ -96,7 +96,11 @@ class Text(Node):
     node_type = TEXT_NODE
 
     def __init__(self, data: str = "") -> None:
-        super().__init__()
+        # Node.__init__ inlined: one Python frame per Text node, and the
+        # tokenizer builds tens of thousands of them per large page
+        self.parent = None
+        self.prev = None
+        self.next = None
         self.data = data
 
     @property
@@ -132,7 +136,10 @@ class Element(Node):
     node_type = ELEMENT_NODE
 
     def __init__(self, tag: str, attrs: Optional[dict] = None) -> None:
-        super().__init__()
+        # Node.__init__ inlined (see Text.__init__)
+        self.parent = None
+        self.prev = None
+        self.next = None
         self.tag = tag
         self.attrs: dict = attrs if attrs is not None else {}
         self.first_child: Optional[Node] = None

@@ -49,6 +49,10 @@ _FAST_ATTR_OR_END = re.compile(
 )
 _FAST_ENDTAG = re.compile(r"</([a-zA-Z][a-zA-Z0-9:._-]*)\s*>")
 
+#: verbatim start-tag memo (see TreeBuilder.parse_starttag): raw bytes up
+#: to the first '>' → (tag, attrs tuple, startend); cleared at cap
+_TAG_CACHE: dict = {}
+
 # Open-element stack depth cap: beyond this, new elements are inserted as
 # leaves (immediately closed).  Bounds every stack scan on adversarial input.
 MAX_OPEN_DEPTH = 512
@@ -152,45 +156,78 @@ class TreeBuilder(HTMLParser):
         """Lean replacement for the stdlib start-tag parser.  Handles the
         well-formed fast path; defers to the stdlib tolerant parser on
         anything unusual (mismatched quotes, junk, EOF truncation) so
-        recovery behavior — and therefore golden parity — is identical."""
+        recovery behavior — and therefore golden parity — is identical.
+
+        Verbatim-tag memo: template markup repeats whole start tags
+        thousands of times (`<div class="x">`…).  When a previous parse of
+        the IDENTICAL byte slice up to the first '>' consumed exactly that
+        slice, its (tag, attrs, startend) outcome is replayed — a pure
+        memoization, since the parse outcome is a function of the consumed
+        bytes alone.  Tags whose parse ran past the first '>' (quoted '>'
+        in an attribute) or fell back to the stdlib parser are never
+        cached."""
         rawdata = self.rawdata
+        gt = rawdata.find(">", i + 1)
+        raw_tag = None
+        # short tags parse faster than they hash — memo only the long,
+        # attribute-heavy ones where the regex loop dominates
+        if gt >= 0 and gt - i >= 24:
+            raw_tag = rawdata[i : gt + 1]
+            hit = _TAG_CACHE.get(raw_tag)
+            if hit is not None:
+                tag, cattrs, startend = hit
+                self.lasttag = tag
+                if startend:
+                    self.handle_startendtag(tag, list(cattrs))
+                else:
+                    self.handle_starttag(tag, list(cattrs))
+                    if tag in self.CDATA_CONTENT_ELEMENTS:
+                        self.set_cdata_mode(tag)
+                return gt + 1
         m = _FAST_START.match(rawdata, i + 1)
         if m is None:
             return super().parse_starttag(i)
-        if m.group(2) is not None:  # bare tag: terminator right after name
-            tag = m.group(1).lower()
+        tag, term = m.group(1, 2)
+        if term is not None:  # bare tag: terminator right after name
+            tag = tag.lower()
+            end = m.end()  # match() anchored at i+1 → end is absolute
+            if raw_tag is not None and end == gt + 1:
+                if len(_TAG_CACHE) >= 200_000:
+                    _TAG_CACHE.clear()
+                _TAG_CACHE[raw_tag] = (tag, (), bool(term))
             self.lasttag = tag
-            if m.group(2):
+            if term:
                 self.handle_startendtag(tag, [])
             else:
                 self.handle_starttag(tag, [])
                 if tag in self.CDATA_CONTENT_ELEMENTS:
                     self.set_cdata_mode(tag)
-            return m.end()  # match() anchored at i+1 → end is absolute
-        tag = m.group(1)
+            return end
         j = m.end(1)  # leave the whitespace for the attr-loop regex
         attrs = []
+        attr_match = _FAST_ATTR_OR_END.match
         while True:
-            am = _FAST_ATTR_OR_END.match(rawdata, j)
+            am = attr_match(rawdata, j)
             if am is None:
                 # junk (`/x`, quote-first, `<`) or truncated buffer —
                 # stdlib tolerant parser decides, exactly as before
                 return super().parse_starttag(i)
-            end_tok = am.group(1)
+            end_tok, name, value = am.group(1, 2, 3)
+            j = am.end()
             if end_tok is not None:
-                j = am.end()
                 startend = end_tok == "/>"
                 break
-            name = am.group(2)
-            value = am.group(3)
             if value is not None:
                 if value[0] in "\"'":
                     value = value[1:-1]
                 if "&" in value:
                     value = unescape(value)
             attrs.append((name.lower(), value))
-            j = am.end()
         tag = tag.lower()
+        if raw_tag is not None and j == gt + 1:
+            if len(_TAG_CACHE) >= 200_000:
+                _TAG_CACHE.clear()
+            _TAG_CACHE[raw_tag] = (tag, tuple(attrs), startend)
         self.lasttag = tag
         if startend:
             self.handle_startendtag(tag, attrs)

