@@ -2499,9 +2499,6 @@ def oracle_sql() -> dict[str, str]:
         # replays the identical Lloyd trajectory as unrolled SQL.
         "ivf_topk": _ivf_sql(k_cent=8, iters=3, n_probe=2, topk=10,
                              query_ids=(0, 1, 2)),
-        # media_features: payload = UTF-8 bytes of text (synthetic_media_df),
-        # fake decode arithmetic per operators/multimodal.py:73-76 —
-        # everything is pure SQL over length/md5 of the text bytes.
         # media_features: closed-form replay of the REAL decode.  PNG is
         # lossless (pixel bytes = cycled text codepoints % 256); GIF is a
         # 4-entry palette lookup (per-index RGB triplet sums 60/150/240/

@@ -229,9 +229,12 @@ class Element(Node):
         n = self.first_child
         if n is None:
             return
+        # type(n) is Element: instance-exact check beats the node_type
+        # class-attribute lookup; Document (the only Element subclass) is
+        # the tree root and can never appear as a descendant
         stack: list = []
         while True:
-            if n.node_type == ELEMENT_NODE:
+            if type(n) is Element:
                 if tag is None or n.tag == tag:
                     yield n  # type: ignore[misc]
                 if n.first_child is not None:
@@ -257,10 +260,11 @@ class Element(Node):
             return out
         match_all = tag == "*"
         stack: list = []
-        while True:
-            if n.node_type == ELEMENT_NODE:
+        append = out.append
+        while True:  # type-exact check: see iter_desc
+            if type(n) is Element:
                 if match_all or n.tag == tag:
-                    out.append(n)  # type: ignore[arg-type]
+                    append(n)  # type: ignore[arg-type]
                 if n.first_child is not None:
                     if n.next is not None:
                         stack.append(n.next)
@@ -305,11 +309,11 @@ class Element(Node):
         n = self.first_child
         while True:
             while n is not None:
-                t = n.node_type
-                if t == TEXT_NODE:
+                t = type(n)  # type-exact checks: see iter_desc
+                if t is Text:
                     parts.append(n.data)  # type: ignore[union-attr]
                     n = n.next
-                elif t == ELEMENT_NODE:
+                elif t is Element:
                     if n._tc_epoch == _mutation_epoch:  # type: ignore[union-attr]
                         parts.append(n._tc_val)  # type: ignore[union-attr]
                         n = n.next

@@ -393,6 +393,8 @@ def count_desc(root: Element, tags: tuple) -> dict:
     """Count descendant elements per tag in ONE subtree walk (the reference
     runs getElementsByTagName once per tag — C4 does five walks per node,
     C8 four per paragraph; this fuses them, same counts)."""
+    from ..dom.node import Element as _El
+
     counts = dict.fromkeys(tags, 0)
     stack: list = []
     n = root.first_child
@@ -400,7 +402,7 @@ def count_desc(root: Element, tags: tuple) -> dict:
         if n is None:
             n = stack.pop()
             continue
-        if n.node_type == ELEMENT_NODE:
+        if type(n) is _El:  # type-exact check: see dom.node.iter_desc
             if n.tag in counts:
                 counts[n.tag] += 1
             if n.first_child is not None:
