@@ -46,6 +46,9 @@ def main() -> None:
     ap.add_argument("--quality-dim", type=int, default=64,
                     help="hashed-TF feature dimension for the classifier")
     ap.add_argument("--quality-iters", type=int, default=20)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="stage-checkpoint path: the extract+dedup output "
+                         "commits here and a rerun resumes from it")
     ap.add_argument("--master", default=None, help="local testing only; omit under spark-submit")
     args = ap.parse_args()
 
@@ -110,6 +113,7 @@ def main() -> None:
         fuzzy_threshold=args.fuzzy_threshold,
         classifier=classifier,
         classifier_threshold=args.quality_threshold,
+        checkpoint_dir=args.checkpoint_dir,
     )
     print(
         f"done: in={res.docs_in} extracted={res.docs_extracted} "

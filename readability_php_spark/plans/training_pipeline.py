@@ -55,7 +55,7 @@ from ..operators.packing import pack_documents
 from ..operators.sampling import hash_split
 from ..operators.scrub import scrub_pii
 from ..operators.text_analysis import token_count
-from .pipeline import tune_session_for_extraction
+from .pipeline import _try_read_parquet, tune_session_for_extraction
 
 
 @dataclass
@@ -86,6 +86,7 @@ def run_training_prep(
     classifier_threshold: float = 0.5,
     chunk_max_tokens: Optional[int] = None,
     chunk_stride: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> PrepResult:
     """pages(url, html[, lang]) → packed training rows at ``output_path``
     (parquet, partitioned by split), plus conservation metrics.
@@ -112,6 +113,12 @@ def run_training_prep(
     one split — overlapping windows of the same text never straddle
     train/val/test.
 
+    ``checkpoint_dir`` makes the pipeline resumable: the extract→scrub→
+    dedup output and its conservation counters are committed there
+    (data first, stats marker second — torn checkpoints recompute), and a
+    rerun resumes from the committed stage instead of re-extracting the
+    corpus.  Same discipline as the extract job's manifest resume.
+
     Telemetry discipline: no action exists solely to drive a counter on
     an unpersisted input.  docs_in/docs_extracted come from ONE aggregate
     over the persisted extraction output (which every later stage reuses
@@ -121,52 +128,86 @@ def run_training_prep(
     tune_session_for_extraction(spark)
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
 
-    has_lang = "lang" in pages.columns
-    extracted = extract_operator(
-        pages,
-        config or Configuration(substitute_entities=True),
-        carry=("lang",) if has_lang else (),
-    ).select(
-        "url",
-        "error",
-        F.col("extracted_text").alias("text"),
-        (F.col("lang") if has_lang else F.lit("und")).alias("lang"),
-    )
-    # persist PRE-filter so one aggregate yields both pages-in and
-    # extracted-ok counts (extract emits exactly one row per input page);
-    # the slim projection keeps the cache at text-size, not html-size
-    extracted = extracted.persist()
-    _c = extracted.agg(
-        F.count("*").alias("n_in"),
-        F.count(F.when(F.col("error").isNull(), 1)).alias("n_ok"),
-    ).first()
-    docs_in, docs_extracted = _c["n_in"], _c["n_ok"]
-    docs = extracted.filter(F.col("error").isNull()).select("url", "text", "lang")
-
-    scrubbed = scrub_pii(docs, text_col="text", out_col="text_s").select(
-        "url", F.col("text_s").alias("text"), "lang"
-    )
-    # exact dedup BEFORE line/fuzzy dedup: identical docs must collapse to
-    # one kept copy first — both so shared lines aren't deleted from every
-    # copy, and so byte-identical mega-groups never reach the LSH buckets'
-    # quadratic-in-bucket pair expansion
-    unique_docs = exact_dedup(scrubbed, id_col="url")
-    if fuzzy:
-        unique_docs = fuzzy_dedup(
-            unique_docs,
-            id_col="url",
-            num_hashes=fuzzy_num_hashes,
-            bands=fuzzy_bands,
-            threshold=fuzzy_threshold,
+    # --- stage checkpoint: the extract→scrub→dedup chain is the expensive
+    # half of the pipeline; with ``checkpoint_dir`` its output (plus the
+    # conservation counters) is committed to parquet, and a rerun resumes
+    # from it instead of re-extracting the corpus.  Commit order makes the
+    # checkpoint crash-safe: ``cleaned`` data first, the tiny ``stats``
+    # marker second — a run that died mid-write leaves no stats, so the
+    # next run recomputes rather than trusting a torn checkpoint.
+    ck = checkpoint_dir.rstrip("/") if checkpoint_dir else None
+    cleaned = None
+    extracted = None
+    if ck is not None:
+        cleaned_ck = _try_read_parquet(spark, ck + "/cleaned")
+        stats_ck = (
+            _try_read_parquet(spark, ck + "/stats")
+            if cleaned_ck is not None
+            else None
         )
-    cleaned = line_dedup(
-        unique_docs, text_col="text", id_col="url", min_count=line_min_count
-    ).join(unique_docs.select("url", "lang"), "url")
-    # the count doubles as the cache-materializing action; every
-    # downstream branch (tokens, split, pack, pack-text join) reads the
-    # cached dedup output instead of recomputing the whole dedup chain
-    cleaned = cleaned.persist()
-    docs_after_dedup = cleaned.count()
+        if cleaned_ck is not None and stats_ck is not None:
+            stats = stats_ck.first()
+            docs_in = stats["docs_in"]
+            docs_extracted = stats["docs_extracted"]
+            docs_after_dedup = stats["docs_after_dedup"]
+            cleaned = cleaned_ck
+
+    if cleaned is None:
+        has_lang = "lang" in pages.columns
+        extracted = extract_operator(
+            pages,
+            config or Configuration(substitute_entities=True),
+            carry=("lang",) if has_lang else (),
+        ).select(
+            "url",
+            "error",
+            F.col("extracted_text").alias("text"),
+            (F.col("lang") if has_lang else F.lit("und")).alias("lang"),
+        )
+        # persist PRE-filter so one aggregate yields both pages-in and
+        # extracted-ok counts (extract emits exactly one row per input
+        # page); the slim projection keeps the cache at text-size, not
+        # html-size
+        extracted = extracted.persist()
+        _c = extracted.agg(
+            F.count("*").alias("n_in"),
+            F.count(F.when(F.col("error").isNull(), 1)).alias("n_ok"),
+        ).first()
+        docs_in, docs_extracted = _c["n_in"], _c["n_ok"]
+        docs = extracted.filter(F.col("error").isNull()).select(
+            "url", "text", "lang"
+        )
+
+        scrubbed = scrub_pii(docs, text_col="text", out_col="text_s").select(
+            "url", F.col("text_s").alias("text"), "lang"
+        )
+        # exact dedup BEFORE line/fuzzy dedup: identical docs must collapse
+        # to one kept copy first — both so shared lines aren't deleted from
+        # every copy, and so byte-identical mega-groups never reach the LSH
+        # buckets' quadratic-in-bucket pair expansion
+        unique_docs = exact_dedup(scrubbed, id_col="url")
+        if fuzzy:
+            unique_docs = fuzzy_dedup(
+                unique_docs,
+                id_col="url",
+                num_hashes=fuzzy_num_hashes,
+                bands=fuzzy_bands,
+                threshold=fuzzy_threshold,
+            )
+        cleaned = line_dedup(
+            unique_docs, text_col="text", id_col="url", min_count=line_min_count
+        ).join(unique_docs.select("url", "lang"), "url")
+        # the count doubles as the cache-materializing action; every
+        # downstream branch (tokens, split, pack, pack-text join) reads the
+        # cached dedup output instead of recomputing the whole dedup chain
+        cleaned = cleaned.persist()
+        docs_after_dedup = cleaned.count()
+        if ck is not None:
+            cleaned.write.mode("overwrite").parquet(ck + "/cleaned")
+            spark.createDataFrame(
+                [(docs_in, docs_extracted, docs_after_dedup)],
+                "docs_in long, docs_extracted long, docs_after_dedup long",
+            ).write.mode("overwrite").parquet(ck + "/stats")
 
     with_tokens = cleaned.select(
         "url", "lang", F.col("text_clean").alias("text"),
@@ -254,8 +295,9 @@ def run_training_prep(
         if (get_cond() or "") != "UNABLE_TO_INFER_SCHEMA":
             raise
         split_counts = {}
-    extracted.unpersist()
-    cleaned.unpersist()
+    if extracted is not None:
+        extracted.unpersist()
+        cleaned.unpersist()  # only cached on the compute path
     return PrepResult(
         output_path=output_path,
         docs_in=docs_in,

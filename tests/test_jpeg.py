@@ -89,6 +89,44 @@ def test_corrupt_streams_raise_valueerror():
         decode_jpeg(payload[: sos + 20] + b"\xff\xd9")
 
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        w=st.integers(1, 26),
+        h=st.integers(1, 22),
+        channels=st.sampled_from([1, 3, 3]),
+        sub=st.sampled_from([(1, 1), (2, 1), (2, 2)]),
+        ri=st.sampled_from([0, 0, 1, 3]),
+        seed=st.integers(0, 2**31),
+    )
+    def test_fuzz_roundtrip_decoder_matches_recon(w, h, channels, sub, ri, seed):
+        """For ANY image/sampling/restart combination the decoder must
+        reproduce the encoder's reconstruction byte-exactly."""
+        rng = random.Random(seed)
+        pix = bytes(rng.randrange(256) for _ in range(w * h * channels))
+        payload, recon = encode_jpeg_with_recon(
+            w, h, pix,
+            channels=channels,
+            subsampling=sub if channels == 3 else (1, 1),
+            restart_interval=ri,
+        )
+        assert decode_jpeg(payload) == (w, h, recon)
+
+
 def test_media_features_jpeg_real_path(spark):
     """extract_media_features(fake_decode=False) decodes a full baseline
     JPEG for real: dims + exact pixel_sum, error None."""

@@ -290,6 +290,52 @@ def test_training_prep_fuzzy_off(spark, tmp_path):
     assert res.docs_after_dedup == 31  # near-dup NOT collapsed
 
 
+def test_training_prep_checkpoint_resume(spark, tmp_path):
+    """checkpoint_dir: a rerun resumes from the committed extract+dedup
+    stage — proven by feeding the rerun a poisoned input (empty pages) and
+    still getting the first run's full output; a torn checkpoint (stats
+    marker missing) falls back to recompute."""
+    from readability_php_spark.plans.training_pipeline import run_training_prep
+
+    pages = documents_corpus_df(spark, SF).filter(F.col("doc_id") < 40).select(
+        "url", "html"
+    )
+    ck = str(tmp_path / "prep_ck")
+    out1 = str(tmp_path / "out1")
+    res1 = run_training_prep(
+        spark, pages, out1, min_tokens=10, pack_budget=500, fuzzy=False,
+        checkpoint_dir=ck,
+    )
+    assert res1.docs_in == 40 and res1.docs_final > 0
+    # rerun with EMPTY input: resume must serve everything from the
+    # checkpoint, so counters and output match run 1 exactly
+    out2 = str(tmp_path / "out2")
+    res2 = run_training_prep(
+        spark, pages.limit(0), out2, min_tokens=10, pack_budget=500,
+        fuzzy=False, checkpoint_dir=ck,
+    )
+    assert (res2.docs_in, res2.docs_extracted, res2.docs_after_dedup) == (
+        res1.docs_in, res1.docs_extracted, res1.docs_after_dedup
+    )
+    rows1 = sorted(
+        (r.url, r.pack_id) for r in spark.read.parquet(out1).collect()
+    )
+    rows2 = sorted(
+        (r.url, r.pack_id) for r in spark.read.parquet(out2).collect()
+    )
+    assert rows1 == rows2
+    # torn checkpoint: remove the stats marker -> recompute from input
+    import shutil as _sh
+
+    _sh.rmtree(ck + "/stats")
+    out3 = str(tmp_path / "out3")
+    res3 = run_training_prep(
+        spark, pages.limit(0), out3, min_tokens=10, pack_budget=500,
+        fuzzy=False, checkpoint_dir=ck,
+    )
+    assert res3.docs_in == 0 and res3.docs_final == 0
+
+
 def test_training_prep_chunk_then_pack(spark, tmp_path):
     """chunk_max_tokens composes chunk→pack: every packed row fits the
     window, chunk rows key as url#k with the parent url carried, chunks of
