@@ -36,7 +36,10 @@ Scale reasoning (explicitly, for the 1000-executor / 100 TB case):
   so file counts stay bounded at any corpus size.
 - The sink is parquet (no Iceberg runtime in this sandbox); append-commit +
   manifest is the Iceberg snapshot pattern — ``.writeTo(tbl).append()`` is
-  a drop-in swap.
+  a drop-in swap.  ``plans/snapshots.py`` supplies the remaining Iceberg
+  ingredient: a per-wave file-manifest snapshot log with as-of
+  (time-travel) reads, so readers pin a consistent view while later waves
+  or reruns append.
 """
 
 from __future__ import annotations
@@ -62,6 +65,9 @@ class ExtractJobResult:
     buckets_done: int
     buckets_skipped: int
     waves_run: int
+    #: id of the last snapshot committed to the Iceberg-pattern snapshot
+    #: log (plans/snapshots.py); None when snapshotting is disabled
+    last_snapshot_id: "int | None" = None
 
 
 def tune_session_for_extraction(spark: SparkSession) -> None:
@@ -138,6 +144,8 @@ def run_extract_job(
     max_html_bytes: Optional[int] = None,
     files_per_bucket: Optional[int] = None,  # writer parallelism per bucket;
     # default: cluster cores / buckets-in-wave (>=1)
+    snapshots: bool = True,  # commit a file-manifest snapshot per wave
+    # (plans/snapshots.py) so readers can pin an as-of view of the output
     # deprecated alias (kept for callers written against the shuffle design)
     num_partitions: Optional[int] = None,
 ) -> ExtractJobResult:
@@ -190,6 +198,7 @@ def run_extract_job(
     wave_size = max(1, (num_buckets + waves - 1) // waves)
     waves_run = 0
     buckets_done = 0
+    last_snapshot_id = None
     for lo in range(0, num_buckets, wave_size):
         hi = min(lo + wave_size, num_buckets)
         wave_buckets = [b for b in range(lo, hi) if not (done_ids and b in done_ids)]
@@ -254,10 +263,16 @@ def run_extract_job(
         )
         metrics.write.mode("append").parquet(manifest_path)
 
+        if snapshots:
+            from .snapshots import commit_snapshot
+
+            last_snapshot_id = commit_snapshot(spark, output_path, wave_buckets)
+
     return ExtractJobResult(
         output_path=output_path,
         manifest_path=manifest_path,
         buckets_done=buckets_done,
         buckets_skipped=skipped,
         waves_run=waves_run,
+        last_snapshot_id=last_snapshot_id,
     )

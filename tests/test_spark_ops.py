@@ -571,6 +571,41 @@ def test_pipeline_output_partitioned_by_bucket(spark, tmp_path):
     assert "part_id" in pf and "IN (1,2)" in pf, pf
 
 
+def test_snapshot_log_time_travel(spark, tmp_path):
+    """Iceberg-pattern snapshot log: each wave commit appends a file
+    manifest; read_snapshot pins an as-of view that later waves and even
+    whole rerun appends cannot perturb."""
+    from readability_php_spark.plans.snapshots import read_snapshot, snapshots
+
+    out_dir = str(tmp_path / "snap_out")
+    pages = fixture_corpus_df(spark, replicas=1)
+    res = run_extract_job(
+        spark, pages, out_dir, num_buckets=4, config=CFG, waves=2
+    )
+    # two waves -> two snapshots
+    hist = snapshots(spark, out_dir).collect()
+    assert [r.snapshot_id for r in hist] == [1, 2]
+    assert res.last_snapshot_id == 2
+    s1 = read_snapshot(spark, out_dir, 1)
+    s2 = read_snapshot(spark, out_dir, 2)
+    n1, n2 = s1.count(), s2.count()
+    assert 0 < n1 < n2 == 89
+    # snapshot 1 covers exactly wave 1's buckets
+    assert {r.part_id for r in s1.select("part_id").distinct().collect()} == {0, 1}
+    # a second full run APPENDS duplicates (resume off, fresh manifest) —
+    # pinned readers must not see them, the latest snapshot must
+    run_extract_job(
+        spark, pages, out_dir, num_buckets=4, config=CFG,
+        resume=False, manifest_path=str(tmp_path / "m2"),
+    )
+    assert spark.read.parquet(out_dir).count() == 178  # raw table: dupes
+    assert read_snapshot(spark, out_dir, 2).count() == 89  # pinned: isolated
+    latest = read_snapshot(spark, out_dir)
+    assert latest.count() == 178
+    # as-of rows are the real extraction output (schema + content intact)
+    assert s2.filter(F.col("extracted_text").isNotNull()).count() > 0
+
+
 def test_exact_dedup_keeps_representative(spark):
     docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(50)
     dupes = docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
