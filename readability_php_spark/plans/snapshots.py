@@ -1,23 +1,40 @@
 """Iceberg-pattern snapshot log for the extract-job sink: file-manifest
-snapshots + as-of (time-travel) reads.
+snapshots, as-of (time-travel) reads, small-file compaction, and snapshot
+expiry (vacuum).
 
 The container ships no Iceberg runtime, so the job's sink is parquet
 ``partitionBy(part_id)`` + a per-bucket metrics manifest.  This module
-adds the remaining Iceberg ingredient — a *snapshot log*: every wave
-commit appends the wave's newly-written data files (path, length, bucket)
-under a monotonically increasing ``snapshot_id``, and
-:func:`read_snapshot` reconstructs the table AS OF any snapshot by
-reading exactly the files committed up to it.  Appends from later runs
-(resume waves, incremental loads) land under new snapshot ids, so readers
-pinned to an old snapshot are isolated from concurrent appends — the same
-reader/writer isolation contract an Iceberg snapshot gives.
+adds the remaining Iceberg ingredients:
 
-Scale shape: a commit lists ONLY the wave's own bucket directories
-(driver-side FS listing, same class of operation Spark's own file index
-performs for any read) and appends the diff to the log via an anti-join —
-no full-output relisting, no unbounded collect.  An as-of read collects
-the file list for the chosen snapshot onto the driver; that list is the
-same size as the file index Spark builds for any scan of those files.
+- **snapshot log** — every wave commit appends the wave's newly-written
+  data files (path, length, bucket) as ``op='add'`` rows under a
+  monotonically increasing ``snapshot_id``;
+- **as-of reads** — :func:`read_snapshot` reconstructs the table AS OF
+  any snapshot by reading exactly the files live at it (adds minus
+  removes), so readers pinned to a snapshot are isolated from concurrent
+  appends, reruns, and compactions;
+- **compaction** — :func:`compact_snapshots` bin-packs a bucket's many
+  small files into few large ones and commits the rewrite as a new
+  snapshot (``add`` rows for the new files, ``remove`` rows for the old);
+  the old files stay on disk so older snapshots remain readable;
+- **vacuum** — :func:`vacuum_snapshots` physically deletes files that no
+  retained snapshot references (removed at or before the retention
+  horizon), the ``expire_snapshots`` maintenance op.
+
+After a compaction the snapshot log is the source of truth — a raw
+``spark.read.parquet(output)`` would see both generations of a rewritten
+bucket, exactly as raw-listing an Iceberg table's data directory would.
+Readers that need compaction-safety go through :func:`read_snapshot`;
+the extract job itself never rewrites, so raw reads stay correct until
+the first compaction.
+
+Scale shape: a commit lists ONLY the affected bucket directories
+(driver-side FS listing, the same class of operation Spark's own file
+index performs for any read) and appends the diff to the log via an
+anti-join — no full-output relisting, no unbounded collect.  An as-of
+read collects the chosen snapshot's file list onto the driver; that list
+is the same size as the file index Spark builds for any scan of those
+files.
 
 Swapping this for real Iceberg is confined to the sink/read calls; the
 job's bucket/manifest/resume logic is unchanged.  (No counterpart in the
@@ -33,19 +50,28 @@ from pyspark.sql import functions as F
 
 SNAPSHOT_LOG_SUFFIX = "_snapshots"
 
+_LOG_SCHEMA = (
+    "snapshot_id long, op string, file string, length long, part_id int"
+)
+
 
 def _log_path(output_path: str) -> str:
     return output_path.rstrip("/") + SNAPSHOT_LOG_SUFFIX
 
 
-def _list_parquet_files(spark: SparkSession, dir_path: str) -> list:
-    """(path, length) of every parquet data file under ``dir_path`` —
-    Hadoop FS API, so it works for file:/, hdfs:/, s3a:/ alike."""
+def _fs(spark: SparkSession, any_path: str):
     sc = spark.sparkContext
     jvm = sc._jvm
     conf = sc._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(any_path)
+    return jvm, p.getFileSystem(conf)
+
+
+def _list_parquet_files(spark: SparkSession, dir_path: str) -> list:
+    """(path, length) of every parquet data file under ``dir_path`` —
+    Hadoop FS API, so it works for file:/, hdfs:/, s3a:/ alike."""
+    jvm, fs = _fs(spark, dir_path)
     p = jvm.org.apache.hadoop.fs.Path(dir_path)
-    fs = p.getFileSystem(conf)
     if not fs.exists(p):
         return []
     out = []
@@ -64,6 +90,30 @@ def _read_log(spark: SparkSession, output_path: str) -> Optional[DataFrame]:
     return _try_read_parquet(spark, _log_path(output_path))
 
 
+def _require_log(spark: SparkSession, output_path: str) -> DataFrame:
+    log = _read_log(spark, output_path)
+    if log is None:
+        raise ValueError(f"no snapshot log at {_log_path(output_path)}")
+    return log
+
+
+def _append_entries(spark, output_path: str, sid: int, rows: DataFrame) -> None:
+    rows.select(
+        F.lit(sid).cast("long").alias("snapshot_id"),
+        "op",
+        "file",
+        "length",
+        "part_id",
+        F.current_timestamp().alias("committed_at"),
+    ).coalesce(1).write.mode("append").parquet(_log_path(output_path))
+
+
+def _last_sid(log: Optional[DataFrame]) -> int:
+    if log is None:
+        return 0
+    return log.agg(F.max("snapshot_id")).first()[0] or 0
+
+
 def commit_snapshot(
     spark: SparkSession, output_path: str, part_ids: list
 ) -> int:
@@ -77,11 +127,7 @@ def commit_snapshot(
         for f, ln in _list_parquet_files(spark, f"{base}/part_id={pid}"):
             listed.append((f, ln, int(pid)))
     log = _read_log(spark, output_path)
-    last = (
-        0
-        if log is None
-        else (log.agg(F.max("snapshot_id")).first()[0] or 0)
-    )
+    last = _last_sid(log)
     if not listed:
         return last
     new_files = spark.createDataFrame(
@@ -91,30 +137,36 @@ def commit_snapshot(
         # anti-join on path: files already committed stay under their
         # original snapshot id (append-only sink; nothing is rewritten)
         new_files = new_files.join(log.select("file"), "file", "left_anti")
-    sid = last + 1
-    entry = new_files.select(
-        F.lit(sid).alias("snapshot_id"),
-        "file",
-        "length",
-        "part_id",
-        F.current_timestamp().alias("committed_at"),
-    )
-    if entry.isEmpty():
+    if new_files.isEmpty():
         return last
-    entry.coalesce(1).write.mode("append").parquet(_log_path(output_path))
+    sid = last + 1
+    _append_entries(
+        spark, output_path, sid, new_files.withColumn("op", F.lit("add"))
+    )
     return sid
 
 
+def _live_files(log: DataFrame, snapshot_id: int) -> DataFrame:
+    """Files visible AS OF ``snapshot_id``: added at ≤ sid, not removed at
+    ≤ sid."""
+    upto = log.filter(F.col("snapshot_id") <= snapshot_id)
+    adds = upto.filter(F.col("op") == "add").select("file", "length", "part_id")
+    removes = upto.filter(F.col("op") == "remove").select("file")
+    return adds.join(removes, "file", "left_anti")
+
+
 def snapshots(spark: SparkSession, output_path: str) -> DataFrame:
-    """Snapshot history: (snapshot_id, n_files, bytes, committed_at)."""
-    log = _read_log(spark, output_path)
-    if log is None:
-        raise ValueError(f"no snapshot log at {_log_path(output_path)}")
+    """Snapshot history: (snapshot_id, adds, removes, bytes_added,
+    committed_at)."""
+    log = _require_log(spark, output_path)
     return (
         log.groupBy("snapshot_id")
         .agg(
-            F.count("*").alias("n_files"),
-            F.sum("length").alias("bytes"),
+            F.count(F.when(F.col("op") == "add", 1)).alias("adds"),
+            F.count(F.when(F.col("op") == "remove", 1)).alias("removes"),
+            F.sum(F.when(F.col("op") == "add", F.col("length"))).alias(
+                "bytes_added"
+            ),
             F.max("committed_at").alias("committed_at"),
         )
         .orderBy("snapshot_id")
@@ -127,19 +179,13 @@ def read_snapshot(
     snapshot_id: Optional[int] = None,
 ) -> DataFrame:
     """The extract output AS OF ``snapshot_id`` (default: latest) — reads
-    exactly the data files committed up to that snapshot, so later appends
-    are invisible.  ``part_id`` is recovered from the log (the raw file
-    read bypasses partition-directory inference)."""
-    log = _read_log(spark, output_path)
-    if log is None:
-        raise ValueError(f"no snapshot log at {_log_path(output_path)}")
+    exactly the data files live at that snapshot, so later appends and
+    compactions are invisible.  ``part_id`` is recovered from the log
+    (the raw file read bypasses partition-directory inference)."""
+    log = _require_log(spark, output_path)
     if snapshot_id is None:
-        snapshot_id = log.agg(F.max("snapshot_id")).first()[0]
-    rows = (
-        log.filter(F.col("snapshot_id") <= snapshot_id)
-        .select("file", "part_id")
-        .collect()
-    )
+        snapshot_id = _last_sid(log)
+    rows = _live_files(log, snapshot_id).select("file", "part_id").collect()
     if not rows:
         raise ValueError(
             f"snapshot {snapshot_id} is empty or unknown at "
@@ -159,3 +205,92 @@ def read_snapshot(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def compact_snapshots(
+    spark: SparkSession,
+    output_path: str,
+    part_ids: Optional[list] = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> int:
+    """Small-file compaction: for each chosen bucket whose latest-snapshot
+    view has ≥ ``min_files`` data files, rewrite them into
+    ``ceil(bytes/target)`` larger files and commit the rewrite as ONE new
+    snapshot (adds + removes).  Old files stay on disk so earlier
+    snapshots remain readable until :func:`vacuum_snapshots`.  Returns the
+    new snapshot id (current max if nothing qualified).
+
+    Scale shape: one job per bucket reading only that bucket's live files
+    and writing ``coalesce(k)`` output — no shuffle; buckets compact
+    independently, so a maintenance scheduler can spread them over time."""
+    log = _require_log(spark, output_path)
+    last = _last_sid(log)
+    base = output_path.rstrip("/")
+    live = _live_files(log, last)
+    if part_ids is not None:
+        live = live.filter(F.col("part_id").isin(list(part_ids)))
+    groups: dict = {}
+    for r in live.collect():
+        groups.setdefault(r["part_id"], []).append((r["file"], r["length"]))
+    adds = []
+    removes = []
+    for pid, files in sorted(groups.items()):
+        if len(files) < min_files:
+            continue
+        total = sum(ln for _, ln in files)
+        k = max(1, -(-total // target_file_bytes))
+        if k >= len(files):
+            continue  # rewrite would not reduce the file count
+        bucket_dir = f"{base}/part_id={pid}"
+        before = {f for f, _ in _list_parquet_files(spark, bucket_dir)}
+        (
+            spark.read.parquet(*[f for f, _ in files])
+            .coalesce(k)
+            .write.mode("append")
+            .parquet(bucket_dir)
+        )
+        after = _list_parquet_files(spark, bucket_dir)
+        for f, ln in after:
+            if f not in before:
+                adds.append((f, ln, int(pid)))
+        removes.extend((f, ln, int(pid)) for f, ln in files)
+    if not adds:
+        return last
+    sid = last + 1
+    entries = spark.createDataFrame(
+        [(f, ln, pid, "add") for f, ln, pid in adds]
+        + [(f, ln, pid, "remove") for f, ln, pid in removes],
+        "file string, length long, part_id int, op string",
+    )
+    _append_entries(spark, output_path, sid, entries)
+    return sid
+
+
+def vacuum_snapshots(
+    spark: SparkSession, output_path: str, retain_from: int
+) -> int:
+    """Physically delete data files no retained snapshot references: a
+    file removed at snapshot ≤ ``retain_from`` is invisible to every
+    snapshot ≥ ``retain_from`` and can go.  Snapshots OLDER than
+    ``retain_from`` become unreadable (Iceberg's ``expire_snapshots``).
+    Returns the number of files deleted."""
+    log = _require_log(spark, output_path)
+    dead = (
+        log.filter(
+            (F.col("op") == "remove") & (F.col("snapshot_id") <= retain_from)
+        )
+        .select("file")
+        .distinct()
+        .collect()
+    )
+    if not dead:
+        return 0
+    jvm, fs = _fs(spark, output_path)
+    n = 0
+    for r in dead:
+        p = jvm.org.apache.hadoop.fs.Path(r["file"])
+        if fs.exists(p):
+            fs.delete(p, False)
+            n += 1
+    return n

@@ -582,9 +582,10 @@ def test_snapshot_log_time_travel(spark, tmp_path):
     res = run_extract_job(
         spark, pages, out_dir, num_buckets=4, config=CFG, waves=2
     )
-    # two waves -> two snapshots
+    # two waves -> two snapshots, all adds
     hist = snapshots(spark, out_dir).collect()
     assert [r.snapshot_id for r in hist] == [1, 2]
+    assert all(r.adds > 0 and r.removes == 0 for r in hist)
     assert res.last_snapshot_id == 2
     s1 = read_snapshot(spark, out_dir, 1)
     s2 = read_snapshot(spark, out_dir, 2)
@@ -604,6 +605,57 @@ def test_snapshot_log_time_travel(spark, tmp_path):
     assert latest.count() == 178
     # as-of rows are the real extraction output (schema + content intact)
     assert s2.filter(F.col("extracted_text").isNotNull()).count() > 0
+
+
+def test_snapshot_compaction_and_vacuum(spark, tmp_path):
+    """Compaction rewrites a bucket's many small files into few large ones
+    under a NEW snapshot; pre-compaction snapshots stay readable until
+    vacuum expires them; the compacted view is row-identical."""
+    from readability_php_spark.plans.snapshots import (
+        compact_snapshots,
+        read_snapshot,
+        snapshots,
+        vacuum_snapshots,
+    )
+
+    out_dir = str(tmp_path / "comp_out")
+    pages = fixture_corpus_df(spark, replicas=1)
+    # files_per_bucket=4 -> many small files per bucket, the compaction case
+    run_extract_job(
+        spark, pages, out_dir, num_buckets=2, config=CFG, files_per_bucket=4
+    )
+    before = {
+        (r.url, r.part_id) for r in read_snapshot(spark, out_dir).collect()
+    }
+    n_files_before = sum(
+        1 for _, dirs, files in os.walk(out_dir) for f in files
+        if f.endswith(".parquet")
+    )
+    sid = compact_snapshots(spark, out_dir, target_file_bytes=1 << 30)
+    hist = {r.snapshot_id: r for r in snapshots(spark, out_dir).collect()}
+    assert sid in hist and hist[sid].removes > 0
+    # compacted view: identical rows, fewer live files
+    after = {
+        (r.url, r.part_id) for r in read_snapshot(spark, out_dir, sid).collect()
+    }
+    assert after == before
+    assert hist[sid].adds < hist[sid].removes
+    # pre-compaction snapshot still readable (old files retained on disk)
+    assert {
+        (r.url, r.part_id) for r in read_snapshot(spark, out_dir, 1).collect()
+    } == before
+    # vacuum at the compaction snapshot: dead pre-compaction files deleted,
+    # latest snapshot still intact, old snapshot now physically expired
+    n_deleted = vacuum_snapshots(spark, out_dir, retain_from=sid)
+    assert n_deleted > 0
+    assert {
+        (r.url, r.part_id) for r in read_snapshot(spark, out_dir, sid).collect()
+    } == before
+    n_files_after = sum(
+        1 for _, dirs, files in os.walk(out_dir) for f in files
+        if f.endswith(".parquet")
+    )
+    assert n_files_after < n_files_before
 
 
 def test_exact_dedup_keeps_representative(spark):
