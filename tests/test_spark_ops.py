@@ -607,6 +607,66 @@ def test_snapshot_log_time_travel(spark, tmp_path):
     assert s2.filter(F.col("extracted_text").isNotNull()).count() > 0
 
 
+def test_spread_skew_levels_hostile_layout(spark, tmp_path):
+    """spread_skew: a corpus whose layout clusters all the huge pages into
+    one scan partition gets leveled by the salted repartition, and rows
+    inside each task arrive size-sorted (homogeneous Arrow batches).
+    Output is identical either way (pure re-layout)."""
+    from readability_php_spark.plans.pipeline import with_bucket
+
+    big = "<html><body>" + "<p>word " * 4000 + "</p></body></html>"
+    small = "<html><body><p>tiny page</p></body></html>"
+    rows = [(f"http://s.test/big/{i}", big.encode()) for i in range(24)] + [
+        (f"http://s.test/small/{i}", small.encode()) for i in range(200)
+    ]
+    # hostile layout: ALL the big pages in partition 0
+    pages = spark.createDataFrame(rows, "url string, html binary").repartition(1)
+    pages = pages.sortWithinPartitions(F.length("html").desc()).coalesce(1)
+
+    spread = (
+        with_bucket(pages, 8)
+        .repartition(8, F.xxhash64(F.col("url"), F.lit(43)))
+        .sortWithinPartitions(F.length("html"))
+    )
+    from pyspark.sql.functions import spark_partition_id
+
+    loads = (
+        spread.select(
+            spark_partition_id().alias("p"), F.length("html").alias("b")
+        )
+        .groupBy("p")
+        .agg(F.sum("b").alias("bytes"))
+        .collect()
+    )
+    per_part = {r.p: r.bytes for r in loads}
+    # every partition carries some bytes and none dominates: the max load
+    # is within 3x of the mean (hostile layout put 99% in one partition)
+    mean = sum(per_part.values()) / len(per_part)
+    assert len(per_part) == 8 and max(per_part.values()) < 3 * mean
+    # size-sorted within partitions: lengths are non-decreasing per task
+    def check(it):
+        prev = -1
+        for r in it:
+            ln = len(r.html)
+            assert ln >= prev
+            prev = ln
+        return iter(())
+
+    list(spread.select("html").rdd.mapPartitions(
+        lambda it: check(it)
+    ).collect())
+    # end-to-end: spread_skew on vs off produce identical extraction rows
+    out_a = str(tmp_path / "sk_a")
+    out_b = str(tmp_path / "sk_b")
+    run_extract_job(spark, pages, out_a, num_buckets=4, config=CFG,
+                    snapshots=False)
+    run_extract_job(spark, pages, out_b, num_buckets=4, config=CFG,
+                    snapshots=False, spread_skew=True)
+    a = sorted((r.url, r.extracted_text) for r in spark.read.parquet(out_a).collect())
+    b = sorted((r.url, r.extracted_text) for r in spark.read.parquet(out_b).collect())
+    assert a == b
+
+
 def test_snapshot_compaction_and_vacuum(spark, tmp_path):
     """Compaction rewrites a bucket's many small files into few large ones
     under a NEW snapshot; pre-compaction snapshots stay readable until
