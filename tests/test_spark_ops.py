@@ -607,6 +607,33 @@ def test_snapshot_log_time_travel(spark, tmp_path):
     assert s2.filter(F.col("extracted_text").isNotNull()).count() > 0
 
 
+def test_snapshot_diff_change_feed(spark, tmp_path):
+    """diff_snapshots: wave-to-wave diff yields exactly the new wave's
+    rows as 'added'; a pure compaction diffs to zero rows (rewrite noise
+    cancelled at the key level)."""
+    from readability_php_spark.plans.snapshots import (
+        compact_snapshots,
+        diff_snapshots,
+        read_snapshot,
+    )
+
+    out_dir = str(tmp_path / "diff_out")
+    pages = fixture_corpus_df(spark, replicas=1)
+    run_extract_job(
+        spark, pages, out_dir, num_buckets=4, config=CFG, waves=2,
+        files_per_bucket=2,
+    )
+    s1 = {r.url for r in read_snapshot(spark, out_dir, 1).select("url").collect()}
+    s2 = {r.url for r in read_snapshot(spark, out_dir, 2).select("url").collect()}
+    d = diff_snapshots(spark, out_dir, 1, 2)
+    got = {(r.url, r.change) for r in d.select("url", "change").collect()}
+    assert got == {(u, "added") for u in s2 - s1}
+    # compaction: files change, rows don't -> empty diff
+    sid = compact_snapshots(spark, out_dir, target_file_bytes=1 << 30)
+    assert sid == 3
+    assert diff_snapshots(spark, out_dir, 2, 3).count() == 0
+
+
 def test_spread_skew_levels_hostile_layout(spark, tmp_path):
     """spread_skew: a corpus whose layout clusters all the huge pages into
     one scan partition gets leveled by the salted repartition, and rows
