@@ -995,7 +995,14 @@ def q_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("sessions_stream gate: stream did not drain in 300s")
+    # the memory sink holds the results in the driver; the staged source
+    # parquet is no longer needed — don't leak a temp dir per invocation
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
     return (
         spark.table(qname)
         .filter(F.col("session_start") < cutoff)

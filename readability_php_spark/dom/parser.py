@@ -170,8 +170,12 @@ class TreeBuilder(HTMLParser):
         gt = rawdata.find(">", i + 1)
         raw_tag = None
         # short tags parse faster than they hash — memo only the long,
-        # attribute-heavy ones where the regex loop dominates
-        if gt >= 0 and gt - i >= 24:
+        # attribute-heavy ones where the regex loop dominates.  The upper
+        # bound caps per-ENTRY memory: without it, adversarial pages
+        # emitting distinct multi-hundred-KB start tags (huge data-/style
+        # attributes) could pin ~entry_cap x tag_size bytes before the
+        # clear-at-cap fires (same spirit as MAX_OPEN_DEPTH below).
+        if gt >= 0 and 24 <= gt - i <= 4096:
             raw_tag = rawdata[i : gt + 1]
             hit = _TAG_CACHE.get(raw_tag)
             if hit is not None:

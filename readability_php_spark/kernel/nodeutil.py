@@ -75,6 +75,14 @@ _WEIGHT_CACHE: dict = {}
 
 
 def _string_weight(s: str) -> int:
+    if len(s) > 4096:  # pathological keys: compute, don't pin memory
+        w = 0
+        if php_trim(s):
+            if REGEXPS["negative"].search(s):
+                w -= 25
+            if REGEXPS["positive"].search(s):
+                w += 25
+        return w
     w = _WEIGHT_CACHE.get(s)
     if w is None:
         if len(_WEIGHT_CACHE) >= 100_000:

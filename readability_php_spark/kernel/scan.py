@@ -71,7 +71,14 @@ _BYLINE_CACHE: dict = {}
 _F4_CACHE: dict = {}
 
 
+#: per-key length bound: pathological pages with multi-KB unique class/id
+#: strings compute directly instead of pinning entry_cap x key_size bytes
+_MEMO_MAX_KEY = 4096
+
+
 def _byline_hit(match_string: str) -> bool:
+    if len(match_string) > _MEMO_MAX_KEY:
+        return REGEXPS["byline"].search(match_string) is not None
     v = _BYLINE_CACHE.get(match_string)
     if v is None:
         if len(_BYLINE_CACHE) >= 100_000:
@@ -83,6 +90,11 @@ def _byline_hit(match_string: str) -> bool:
 
 def _f4_unlikely(match_string: str) -> bool:
     """unlikelyCandidates AND NOT okMaybeItsACandidate, memoized."""
+    if len(match_string) > _MEMO_MAX_KEY:
+        return (
+            REGEXPS["unlikelyCandidates"].search(match_string) is not None
+            and REGEXPS["okMaybeItsACandidate"].search(match_string) is None
+        )
     v = _F4_CACHE.get(match_string)
     if v is None:
         if len(_F4_CACHE) >= 100_000:

@@ -263,11 +263,14 @@ def _upsample_to_rgb(width, height, planes, comps, hmax, vmax) -> bytes:
     return bytes(out)
 
 
-def decode_jpeg(payload: bytes) -> tuple:
+def decode_jpeg(payload: bytes, max_pixels: "int | None" = None) -> tuple:
     """Baseline JPEG → ``(width, height, pixels)``; pixels are width ×
     height bytes (grayscale) or ×3 (RGB), row-major.  ``ValueError`` on
     structural corruption, :class:`JpegPixelsUnavailable` on valid-but-
-    unsupported streams (progressive/arithmetic/12-bit/scanless)."""
+    unsupported streams (progressive/arithmetic/12-bit/scanless) AND on
+    images over ``max_pixels`` — the pure-Python entropy decode is
+    minutes-per-megapixel, so oversized images fall back to the caller's
+    header-dimensions path instead of stalling an executor."""
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG: bad signature")
     quant = {}
@@ -328,6 +331,11 @@ def decode_jpeg(payload: bytes) -> tuple:
             nc = body[5]
             if nc not in (1, 3):
                 raise JpegPixelsUnavailable(f"{nc}-component JPEG unsupported")
+            if max_pixels is not None and width * height > max_pixels:
+                raise JpegPixelsUnavailable(
+                    f"image exceeds pixel budget ({width}x{height} > "
+                    f"{max_pixels}px); dimensions remain available"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]

@@ -86,7 +86,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+def decode_png(payload: bytes, max_pixels: "int | None" = None) -> tuple[int, int, bytes]:
     """Real PNG decode with nothing but the stdlib: chunk walk → IHDR
     parse → concatenated-IDAT ``zlib`` inflate → per-scanline unfilter
     (all five filter types).  Supports the web-dominant shapes — 8-bit
@@ -116,6 +116,11 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError(f"unsupported PNG color type {color_type}")
             if interlace != 0:
                 raise ValueError("interlaced PNG unsupported")
+            if max_pixels is not None and width * height > max_pixels:
+                raise ValueError(
+                    f"image exceeds pixel budget ({width}x{height} > "
+                    f"{max_pixels}px)"
+                )
             channels = _PNG_CHANNELS[color_type]
         elif ctype == b"IDAT":
             idat += data
@@ -347,7 +352,7 @@ def _gif_interlace_rows(height: int) -> list[int]:
     )
 
 
-def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
+def decode_gif(payload: bytes, max_pixels: "int | None" = None) -> tuple[int, int, bytes]:
     """Real GIF decode with nothing but the stdlib: logical-screen parse →
     global/local color table → sub-block reassembly → LZW inflate →
     palette lookup (+ Adam-style 4-pass deinterlace).  FIRST frame only
@@ -377,6 +382,10 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("truncated image descriptor")
             w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
             h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            if max_pixels is not None and w * h > max_pixels:
+                raise ValueError(
+                    f"image exceeds pixel budget ({w}x{h} > {max_pixels}px)"
+                )
             ipacked = payload[pos + 9]
             pos += 10
             palette = gct
@@ -420,23 +429,40 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
     raise ValueError("GIF has no image data")
 
 
-def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int, bytes]:
+#: default per-image pixel budget for the pure-Python decoders: a
+#: 12-megapixel photo through a Python Huffman/IDCT/LZW path costs minutes
+#: of executor CPU — over budget, PNG/GIF raise ValueError (→ decode_error
+#: column) and JPEG falls back to header-only dimensions, so a single
+#: pathological image can never stall a task.  Raise or pass None when the
+#: corpus is trusted.
+DEFAULT_MAX_PIXELS = 4_000_000
+
+
+def decode_image(
+    payload: bytes,
+    *,
+    fake: bool = False,
+    max_pixels: "int | None" = DEFAULT_MAX_PIXELS,
+) -> tuple[int, int, bytes]:
     """PNG, GIF, and baseline JPEG payloads decode for REAL (stdlib-only —
     see ``decode_png`` / ``decode_gif`` / ``jpeg.decode_jpeg``); other
     formats need an image library this container doesn't ship, so they
     raise ``NotImplementedError`` unless ``fake=True`` requests the
     deterministic pseudo-decode (dimensions derived from byte length) that
-    the plumbing tests use.  Progressive/arithmetic JPEG raises
+    the plumbing tests use.  In fake mode JPEG also takes the cheap fake
+    path — the pure-Python entropy decode is a real-decode opt-in, not a
+    plumbing-test cost.  Progressive/arithmetic/over-budget JPEG raises
     ``JpegPixelsUnavailable`` (a ``NotImplementedError``) so callers can
-    fall back to header-only dimensions."""
+    fall back to header-only dimensions; over-budget PNG/GIF raise
+    ``ValueError`` (see ``DEFAULT_MAX_PIXELS``)."""
     if payload[:8] == PNG_MAGIC:
-        return decode_png(payload)
+        return decode_png(payload, max_pixels=max_pixels)
     if payload[:6] in GIF_MAGICS:
-        return decode_gif(payload)
-    if payload[:3] == JPEG_MAGIC:
+        return decode_gif(payload, max_pixels=max_pixels)
+    if not fake and payload[:3] == JPEG_MAGIC:
         from .jpeg import decode_jpeg
 
-        return decode_jpeg(payload)
+        return decode_jpeg(payload, max_pixels=max_pixels)
     if not fake:
         raise NotImplementedError(
             "non-PNG/GIF/JPEG image decode requires PIL/libvips; not available in this environment"
@@ -509,7 +535,12 @@ def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
-def extract_media_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame:
+def extract_media_features(
+    media: DataFrame,
+    *,
+    fake_decode: bool = True,
+    max_pixels: "int | None" = DEFAULT_MAX_PIXELS,
+) -> DataFrame:
     """media(media_id, kind, payload:binary) → features frame via Arrow
     batches.  Mirrors the HTML extractor's batch discipline: one output row
     per input row, failures as an ``error`` column."""
@@ -526,7 +557,9 @@ def extract_media_features(media: DataFrame, *, fake_decode: bool = True) -> Dat
                 width = height = pixel_sum = None
                 try:
                     if kind == "image":
-                        width, height, pix = decode_image(raw, fake=fake_decode)
+                        width, height, pix = decode_image(
+                            raw, fake=fake_decode, max_pixels=max_pixels
+                        )
                         pixel_sum = sum(pix)
                 except NotImplementedError:
                     err = "decoder_unavailable"

@@ -279,12 +279,19 @@ def run_extract_job(
             F.lit(num_buckets).alias("num_buckets"),
             F.lit(salt_seed).alias("salt_seed"),
         )
-        metrics.write.mode("append").parquet(manifest_path)
-
+        # snapshot BEFORE the manifest append: the manifest is what resume
+        # trusts, so it must be the LAST thing a wave commits.  A crash
+        # after the snapshot but before the manifest leaves the bucket
+        # un-done — the rerun's committed-rows anti-join produces no new
+        # rows, commit_snapshot finds no unlogged files (no-op), and the
+        # manifest append completes; the reverse order would leave files
+        # that are manifest-done but invisible to every future snapshot.
         if snapshots:
             from .snapshots import commit_snapshot
 
             last_snapshot_id = commit_snapshot(spark, output_path, wave_buckets)
+
+        metrics.write.mode("append").parquet(manifest_path)
 
     return ExtractJobResult(
         output_path=output_path,

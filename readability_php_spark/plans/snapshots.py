@@ -21,12 +21,15 @@ adds the remaining Iceberg ingredients:
   retained snapshot references (removed at or before the retention
   horizon), the ``expire_snapshots`` maintenance op.
 
-After a compaction the snapshot log is the source of truth — a raw
-``spark.read.parquet(output)`` would see both generations of a rewritten
-bucket, exactly as raw-listing an Iceberg table's data directory would.
-Readers that need compaction-safety go through :func:`read_snapshot`;
-the extract job itself never rewrites, so raw reads stay correct until
-the first compaction.
+Compacted rewrites land under the ``_compacted`` staging directory
+(underscore-prefixed, so directory-listing readers skip it): a raw
+``spark.read.parquet(output)`` keeps seeing exactly the original
+append-only files — never a doubled bucket — while snapshot readers,
+which address files by explicit path, see whichever generation their
+snapshot references.  The staging split is also what makes compaction
+crash-safe: a compaction that dies before its log append leaves orphans
+only in ``_compacted``, where ``commit_snapshot`` (which lists only
+``part_id=*`` directories) can never mistake them for new data.
 
 Scale shape: a commit lists ONLY the affected bucket directories
 (driver-side FS listing, the same class of operation Spark's own file
@@ -50,9 +53,14 @@ from pyspark.sql import functions as F
 
 SNAPSHOT_LOG_SUFFIX = "_snapshots"
 
-_LOG_SCHEMA = (
-    "snapshot_id long, op string, file string, length long, part_id int"
-)
+#: staging prefix for compaction rewrites: an UNDERSCORE directory, so (a)
+#: raw `spark.read.parquet(output)` readers never see compacted copies
+#: (Spark/Hadoop listing skips _-prefixed directories, like _SUCCESS), and
+#: (b) `commit_snapshot` — which lists only part_id=* directories — can
+#: never re-add orphaned files from a compaction that crashed before its
+#: log append.  Snapshot reads address files by explicit path, so the
+#: staging location is invisible to them too.
+COMPACTED_DIR = "_compacted"
 
 
 def _log_path(output_path: str) -> str:
@@ -173,24 +181,15 @@ def snapshots(spark: SparkSession, output_path: str) -> DataFrame:
     )
 
 
-def read_snapshot(
-    spark: SparkSession,
-    output_path: str,
-    snapshot_id: Optional[int] = None,
-) -> DataFrame:
-    """The extract output AS OF ``snapshot_id`` (default: latest) — reads
-    exactly the data files live at that snapshot, so later appends and
-    compactions are invisible.  ``part_id`` is recovered from the log
-    (the raw file read bypasses partition-directory inference)."""
-    log = _require_log(spark, output_path)
-    if snapshot_id is None:
-        snapshot_id = _last_sid(log)
-    rows = _live_files(log, snapshot_id).select("file", "part_id").collect()
+def _read_file_rows(spark: SparkSession, rows: list) -> Optional[DataFrame]:
+    """One DataFrame over (file, part_id) rows: a scan per bucket, union
+    across buckets (``part_id`` is re-attached from the log — compacted
+    files live under a staging dir, so partition-directory inference with
+    a shared basePath cannot recover it).  Plan depth is one Union node
+    per bucket — bounded by ``num_buckets``, which the job keeps at a few
+    hundred."""
     if not rows:
-        raise ValueError(
-            f"snapshot {snapshot_id} is empty or unknown at "
-            f"{_log_path(output_path)}"
-        )
+        return None
     by_pid: dict = {}
     for r in rows:
         by_pid.setdefault(r["part_id"], []).append(r["file"])
@@ -204,6 +203,28 @@ def read_snapshot(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    return out
+
+
+def read_snapshot(
+    spark: SparkSession,
+    output_path: str,
+    snapshot_id: Optional[int] = None,
+) -> DataFrame:
+    """The extract output AS OF ``snapshot_id`` (default: latest) — reads
+    exactly the data files live at that snapshot, so later appends and
+    compactions are invisible.  ``part_id`` is recovered from the log
+    (the raw file read bypasses partition-directory inference)."""
+    log = _require_log(spark, output_path)
+    if snapshot_id is None:
+        snapshot_id = _last_sid(log)
+    rows = _live_files(log, snapshot_id).select("file", "part_id").collect()
+    out = _read_file_rows(spark, rows)
+    if out is None:
+        raise ValueError(
+            f"snapshot {snapshot_id} is empty or unknown at "
+            f"{_log_path(output_path)}"
+        )
     return out
 
 
@@ -230,32 +251,17 @@ def diff_snapshots(
         to_snapshot = _last_sid(log)
     a = _live_files(log, from_snapshot).select("file", "part_id")
     b = _live_files(log, to_snapshot).select("file", "part_id")
-    gained = [r for r in b.join(a.select("file"), "file", "left_anti").collect()]
-    lost = [r for r in a.join(b.select("file"), "file", "left_anti").collect()]
-
-    def _read(rows):
-        if not rows:
-            return None
-        by_pid: dict = {}
-        for r in rows:
-            by_pid.setdefault(r["part_id"], []).append(r["file"])
-        parts = []
-        for pid, files in sorted(by_pid.items()):
-            parts.append(
-                spark.read.parquet(*files).withColumn(
-                    "part_id", F.lit(pid).cast("int")
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
-    gained_rows = _read(gained)
-    lost_rows = _read(lost)
+    gained = b.join(a.select("file"), "file", "left_anti").collect()
+    lost = a.join(b.select("file"), "file", "left_anti").collect()
+    gained_rows = _read_file_rows(spark, gained)
+    lost_rows = _read_file_rows(spark, lost)
     if gained_rows is None and lost_rows is None:
-        raise ValueError(
-            f"snapshots {from_snapshot} and {to_snapshot} share every file"
+        # steady state: nothing changed between the snapshots — an EMPTY
+        # change feed, not an error (schedulers poll this on every tick)
+        return (
+            read_snapshot(spark, output_path, to_snapshot)
+            .limit(0)
+            .withColumn("change", F.lit("added"))
         )
     if gained_rows is None:
         return lost_rows.withColumn("change", F.lit("removed"))
@@ -305,7 +311,7 @@ def compact_snapshots(
         k = max(1, -(-total // target_file_bytes))
         if k >= len(files):
             continue  # rewrite would not reduce the file count
-        bucket_dir = f"{base}/part_id={pid}"
+        bucket_dir = f"{base}/{COMPACTED_DIR}/part_id={pid}"
         before = {f for f, _ in _list_parquet_files(spark, bucket_dir)}
         (
             spark.read.parquet(*[f for f, _ in files])

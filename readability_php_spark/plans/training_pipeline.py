@@ -136,6 +136,25 @@ def run_training_prep(
     # marker second — a run that died mid-write leaves no stats, so the
     # next run recomputes rather than trusting a torn checkpoint.
     ck = checkpoint_dir.rstrip("/") if checkpoint_dir else None
+    # every knob that shapes the checkpointed stage's OUTPUT; a resume
+    # under different values would silently serve wrong data, so (same
+    # discipline as run_extract_job's bucketing guard) mismatches refuse
+    # to resume instead.  Input staleness is the caller's contract, as
+    # with any checkpoint: point a changed corpus at a fresh dir.
+    stage_params = (
+        f"fuzzy={fuzzy},fuzzy_threshold={fuzzy_threshold},"
+        f"fuzzy_num_hashes={fuzzy_num_hashes},fuzzy_bands={fuzzy_bands},"
+        f"line_min_count={line_min_count},"
+        "config=" + (
+            "default"
+            if config is None
+            # logger excluded: an injected logger object is run-local and
+            # never shapes the extracted output
+            else repr(sorted(
+                (k, v) for k, v in vars(config).items() if k != "logger"
+            ))
+        )
+    )
     cleaned = None
     extracted = None
     if ck is not None:
@@ -147,6 +166,14 @@ def run_training_prep(
         )
         if cleaned_ck is not None and stats_ck is not None:
             stats = stats_ck.first()
+            if stats["stage_params"] != stage_params:
+                raise ValueError(
+                    f"checkpoint at {ck} was written with stage params\n  "
+                    f"{stats['stage_params']}\nbut this run uses\n  "
+                    f"{stage_params}\nResuming would serve data produced "
+                    "under different dedup/extraction settings; use a "
+                    "fresh checkpoint dir or the original parameters."
+                )
             docs_in = stats["docs_in"]
             docs_extracted = stats["docs_extracted"]
             docs_after_dedup = stats["docs_after_dedup"]
@@ -205,8 +232,9 @@ def run_training_prep(
         if ck is not None:
             cleaned.write.mode("overwrite").parquet(ck + "/cleaned")
             spark.createDataFrame(
-                [(docs_in, docs_extracted, docs_after_dedup)],
-                "docs_in long, docs_extracted long, docs_after_dedup long",
+                [(docs_in, docs_extracted, docs_after_dedup, stage_params)],
+                "docs_in long, docs_extracted long, docs_after_dedup long, "
+                "stage_params string",
             ).write.mode("overwrite").parquet(ck + "/stats")
 
     with_tokens = cleaned.select(

@@ -324,6 +324,14 @@ def test_training_prep_checkpoint_resume(spark, tmp_path):
         (r.url, r.pack_id) for r in spark.read.parquet(out2).collect()
     )
     assert rows1 == rows2
+    # parameter drift: resuming under different dedup settings must refuse
+    # (silently serving non-fuzzy output to a fuzzy run would corrupt the
+    # training set) — same discipline as run_extract_job's bucketing guard
+    with pytest.raises(ValueError, match="stage params"):
+        run_training_prep(
+            spark, pages.limit(0), str(tmp_path / "out_drift"),
+            min_tokens=10, pack_budget=500, fuzzy=True, checkpoint_dir=ck,
+        )
     # torn checkpoint: remove the stats marker -> recompute from input
     import shutil as _sh
 
