@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--lang", default=None)
     ap.add_argument("--max-html-bytes", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--no-snapshots", action="store_true",
+                    help="skip the per-wave file-manifest snapshot commit")
+    ap.add_argument("--spread-skew", action="store_true",
+                    help="input-side skew leveler for hostile layouts "
+                         "(costs one shuffle of the raw HTML)")
     ap.add_argument("--char-threshold", type=int, default=500)
     ap.add_argument("--master", default=None, help="local testing only; omit under spark-submit")
     args = ap.parse_args()
@@ -63,11 +68,13 @@ def main() -> None:
         resume=not args.no_resume,
         lang_filter=args.lang,
         max_html_bytes=args.max_html_bytes,
+        snapshots=not args.no_snapshots,
+        spread_skew=args.spread_skew,
     )
     print(
         f"done: buckets={result.buckets_done} skipped={result.buckets_skipped} "
         f"waves={result.waves_run} output={result.output_path} "
-        f"manifest={result.manifest_path}"
+        f"manifest={result.manifest_path} snapshot={result.last_snapshot_id}"
     )
     spark.stop()
 
