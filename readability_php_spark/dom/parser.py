@@ -179,12 +179,12 @@ class TreeBuilder(HTMLParser):
             raw_tag = rawdata[i : gt + 1]
             hit = _TAG_CACHE.get(raw_tag)
             if hit is not None:
-                tag, cattrs, startend = hit
+                tag, cattrs, startend, cdict = hit
                 self.lasttag = tag
                 if startend:
-                    self.handle_startendtag(tag, list(cattrs))
+                    self.handle_startendtag(tag, list(cattrs), attrs_dict=cdict)
                 else:
-                    self.handle_starttag(tag, list(cattrs))
+                    self.handle_starttag(tag, list(cattrs), attrs_dict=cdict)
                     if tag in self.CDATA_CONTENT_ELEMENTS:
                         self.set_cdata_mode(tag)
                 return gt + 1
@@ -198,7 +198,7 @@ class TreeBuilder(HTMLParser):
             if raw_tag is not None and end == gt + 1:
                 if len(_TAG_CACHE) >= 200_000:
                     _TAG_CACHE.clear()
-                _TAG_CACHE[raw_tag] = (tag, (), bool(term))
+                _TAG_CACHE[raw_tag] = (tag, (), bool(term), {})
             self.lasttag = tag
             if term:
                 self.handle_startendtag(tag, [])
@@ -231,7 +231,14 @@ class TreeBuilder(HTMLParser):
         if raw_tag is not None and j == gt + 1:
             if len(_TAG_CACHE) >= 200_000:
                 _TAG_CACHE.clear()
-            _TAG_CACHE[raw_tag] = (tag, tuple(attrs), startend)
+            # precompute the merged attr dict once per verbatim tag: the
+            # first-wins + bool-minimization result _merge_attrs would
+            # produce into an EMPTY element (the generic-element case)
+            d: dict = {}
+            for n, v in attrs:
+                if n not in d:
+                    d[n] = v if v is not None else n
+            _TAG_CACHE[raw_tag] = (tag, tuple(attrs), startend, d)
         self.lasttag = tag
         if startend:
             self.handle_startendtag(tag, attrs)
@@ -429,7 +436,10 @@ class TreeBuilder(HTMLParser):
                     break
 
     # --- HTMLParser callbacks ---------------------------------------------
-    def handle_starttag(self, tag, attrs):
+    def handle_starttag(self, tag, attrs, attrs_dict=None):
+        # attrs_dict: verbatim-tag-memo fast path — the first-wins merged
+        # dict for a FRESH element; html/head/body merge into an existing
+        # element and always take the list path
         if self._pending_ws is not None:  # inlined guard: hot path
             self._flush_pending_ws(False)
         if tag == "html":
@@ -453,7 +463,10 @@ class TreeBuilder(HTMLParser):
             return
         self._imply_end_tags(tag)
         el = Element(tag)
-        if attrs:
+        if attrs_dict is not None:
+            if attrs_dict:
+                el.attrs = dict(attrs_dict)
+        elif attrs:
             self._merge_attrs(el, attrs)
         self._insertion_parent(tag).append_child(el)
         if tag not in VOID_ELEMENTS and len(self.stack) < MAX_OPEN_DEPTH:
@@ -464,7 +477,7 @@ class TreeBuilder(HTMLParser):
             if tag == "p":
                 self._open_p += 1
 
-    def handle_startendtag(self, tag, attrs):
+    def handle_startendtag(self, tag, attrs, attrs_dict=None):
         if self._pending_ws is not None:  # inlined guard: hot path
             self._flush_pending_ws(False)
         if tag in ("html", "head", "body"):
@@ -472,7 +485,10 @@ class TreeBuilder(HTMLParser):
             return
         self._imply_end_tags(tag)
         el = Element(tag)
-        if attrs:
+        if attrs_dict is not None:
+            if attrs_dict:
+                el.attrs = dict(attrs_dict)
+        elif attrs:
             self._merge_attrs(el, attrs)
         self._insertion_parent(tag).append_child(el)
         # <div/> in text/html is an OPEN tag per HTML5; libxml treats it as
@@ -493,8 +509,18 @@ class TreeBuilder(HTMLParser):
             # </p> with no open <p> creates an empty paragraph (HTML5)
             self._insertion_parent(tag).append_child(Element("p"))
             return
-        for i in range(len(self.stack) - 1, -1, -1):
-            if self.stack[i].tag == tag:
+        stack = self.stack
+        if stack and stack[-1].tag == tag:
+            # well-formed fast path (the overwhelming majority of end
+            # tags close the top of stack): same outcome as
+            # _pop_to_inclusive(len-1), without the reverse scan,
+            # slice-del, or slice p-count
+            stack.pop()
+            if tag == "p":
+                self._open_p -= 1
+            return
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i].tag == tag:
                 self._pop_to_inclusive(i)
                 return
         # unmatched end tag: ignored
