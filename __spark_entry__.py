@@ -1675,7 +1675,7 @@ def oracle_sql() -> dict[str, str]:
                                             || regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1)
                                   END,
                                   '#.*$', ''),
-                                '(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                                '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\\1', 'g'),
                               '\\?&+', '?', 'g'),
                             '&&+', '&', 'g'),
                           '[?&]+$', ''),

@@ -115,11 +115,17 @@ def score_logreg(
     feature_col: str = "embedding",
     threshold: float = 0.5,
     round_decimals: int = 4,
+    margin_decimals: int = 6,
 ) -> DataFrame:
     """Apply a trained model: adds ``score`` (sigmoid of the margin,
     rounded) and ``keep`` (score >= threshold).  Pure broadcast column
-    algebra — composes into any pipeline stage as a narrow map."""
-    z = _dot(F.col(feature_col), weights, bias, 6)
+    algebra — composes into any pipeline stage as a narrow map.
+
+    ``margin_decimals`` must match the ``round_decimals`` the model was
+    TRAINED with (train_logreg default: 6) — the replayable-trajectory
+    guarantee holds only when scoring rounds the margin at the same
+    precision as training did."""
+    z = _dot(F.col(feature_col), weights, bias, margin_decimals)
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_decimals)
     return features.withColumn("score", score).withColumn(
         "keep", F.col("score") >= F.lit(threshold)

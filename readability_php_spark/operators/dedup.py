@@ -37,6 +37,8 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
     duplicated fingerprint with the keeper (min doc_id) and group size."""
     return (
         documents.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
+        # null text is "uncomparable", not "identical to other nulls"
+        .filter(F.col("fp").isNotNull())
         .groupBy("fp")
         .agg(
             F.min("doc_id").alias("keeper_doc_id"),
@@ -53,12 +55,21 @@ def exact_dedup(
     The id may be any orderable unique column — the composed training
     pipeline keys on ``url`` (globally unique by construction) rather than
     a 64-bit hash, so a hash collision can never merge distinct docs."""
+    # NULL text (e.g. failed extractions carried forward) fingerprints to
+    # NULL, and groupBy treats NULLs as one group — which would silently
+    # delete all-but-one of documents that were never actually compared.
+    # Null-text rows pass through as their own keepers instead.
     w = (
         documents.select(id_col, fingerprint(F.col(text_col)).alias("fp"))
+        .filter(F.col("fp").isNotNull())
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
     )
-    return documents.join(w.select(id_col), id_col, "left_semi")
+    return documents.filter(F.col(text_col).isNull()).unionByName(
+        documents.filter(F.col(text_col).isNotNull()).join(
+            w.select(id_col), id_col, "left_semi"
+        )
+    )
 
 
 # --- shingles / n-grams -------------------------------------------------------
@@ -270,6 +281,13 @@ def minhash_bands(
 ) -> DataFrame:
     """(doc_id, band, band_hash): md5 of each band's concatenated minhashes.
     This is the LSH bucketing relation — near-dups collide on ≥1 band."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}); the trailing {num_hashes % bands} minhash values "
+            "would silently drop out of every band, changing LSH "
+            "sensitivity without an error"
+        )
     rows = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
     docs = documents.select("doc_id", sig.alias("sig"))
@@ -487,10 +505,16 @@ def line_dedup(
     # re.escape output is Java-compatible: it only backslashes
     # non-alphanumerics, and Java regex treats an escaped non-alphabetic
     # character as that literal character.
+    # NULL text splits to NULL (size -1): such a row would land in
+    # NEITHER branch and silently vanish from the corpus — coalesce to ''
+    # so failed-extraction rows ride through like empty documents
     base = docs.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("_t"),
-        F.split(F.col(text_col), re.escape(sep)).alias("_arr"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    ).select(
+        "id",
+        "_t",
+        F.split(F.col("_t"), re.escape(sep)).alias("_arr"),
     ).withColumn("_nl", F.size("_arr"))
     capped = base.filter(F.col("_nl") > max_lines).select(
         "id",

@@ -569,9 +569,14 @@ def extract_media_features(
                         try:
                             width, height = jpeg_dimensions(raw)
                             err = "pixels_unavailable"
-                        except ValueError as e:
+                        except Exception as e:  # noqa: BLE001 — same
+                            # error-column contract as the outer handler
                             err = f"decode_error: {e}"
-                except ValueError as e:
+                except Exception as e:  # noqa: BLE001 — contract: ANY
+                    # decode failure becomes the row's error column, never
+                    # a task kill (zlib.error from a corrupt IDAT and
+                    # IndexError from truncated segments are not
+                    # ValueError subclasses)
                     err = f"decode_error: {e}"
                 out["media_id"].append(mid)
                 out["kind"].append(kind)

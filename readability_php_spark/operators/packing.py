@@ -92,15 +92,17 @@ def pack_documents_bucketed(
 
 
 def pack_stats(packed: DataFrame, budget: int,
-               group_cols: tuple[str, ...] = ("lang",)) -> DataFrame:
+               group_cols: tuple[str, ...] = ("lang",),
+               tokens_col: str = "n_tokens") -> DataFrame:
     """Per-pack fill metrics: tokens, docs, fill ratio (how much of the
     budget the pack actually uses — the waste metric packing exists to
-    minimize)."""
+    minimize).  ``tokens_col`` mirrors pack_documents' parameter so a
+    pack built over e.g. n_chars needs no rename."""
     return (
         packed.groupBy(*group_cols, "pack_id")
         .agg(
             F.count("*").alias("docs"),
-            F.sum("n_tokens").alias("tokens"),
+            F.sum(tokens_col).alias("tokens"),
         )
         .withColumn("fill", F.round(F.col("tokens") / budget, 4))
     )

@@ -209,7 +209,10 @@ def ivf_topk(
             F.col("corpus_id").alias("neighbor_id"),
             F.round(cosine(F.col("qvec"), F.col("cvec_corp")), 4).alias("cos_sim"),
         )
-        .distinct()
+        # no dedup needed: a corpus vector lives in exactly ONE cell and a
+        # query's n_probe cells are distinct, so each (query, corpus) pair
+        # can meet at most once — a distinct here would re-shuffle the
+        # whole scored relation for zero semantic effect
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

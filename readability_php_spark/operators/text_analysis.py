@@ -26,16 +26,26 @@ LANG_STOPWORDS = {
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace tokenization count (empty string → 0)."""
+    """Whitespace tokenization count (empty string AND null → 0; without
+    the null leg, size(split(NULL)) = -1 would flow into packing prefix
+    sums and quality filters as a negative token count)."""
     t = F.trim(text)
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    return F.when(t.isNull() | (t == ""), F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
 
 
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-ish pre-tokenizer count: word pieces + standalone punctuation
-    (the GPT-2 pre-tokenizer shape: letters | digits | punct runs)."""
-    return F.size(
-        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"), F.lit(0))
+    (the GPT-2 pre-tokenizer shape: letters | digits | punct runs); null
+    text counts 0, like :func:`token_count`."""
+    return F.coalesce(
+        F.size(
+            F.regexp_extract_all(
+                text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"), F.lit(0)
+            )
+        ),
+        F.lit(0),
     )
 
 
@@ -104,7 +114,10 @@ def analyze(documents: DataFrame, text_col: str = "text") -> DataFrame:
     expressions from being inlined more than once, so each regex scans the
     text exactly one time — the naive single-select form evaluated every
     language's stopword regex up to 3× (greatest + when-chain)."""
-    t = F.col(text_col)
+    # null text behaves as the empty document throughout: without the
+    # coalesces a NULL length would make least(NULL/2000, 1) = 1.0 (least
+    # skips nulls) and an unparseable page would score ~0.7 quality
+    t = F.coalesce(F.col(text_col), F.lit(""))
     prims = documents.select(
         "doc_id",
         token_count(t).alias("_words"),

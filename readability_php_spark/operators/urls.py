@@ -20,8 +20,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: tracking params stripped during canonicalization
-_TRACKING = r"(utm_[a-z]+|fbclid|gclid)=[^&#]*"
+#: tracking params stripped during canonicalization — anchored to a
+#: param boundary ([?&]) so 'xutm_source=..' (a different param), values
+#: CONTAINING 'gclid=..', and path segments are never clipped; the
+#: delimiter is kept ($1) and the ?&/&&/trailing tidy passes absorb it
+_TRACKING = r"([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*"
 
 
 def canonical_url(url: Column) -> Column:
@@ -35,7 +38,7 @@ def canonical_url(url: Column) -> Column:
     # 2. fragment off
     c = F.regexp_replace(c, r"#.*$", "")
     # 3. tracking params out, then tidy "?&", "&&", trailing "?"/"&"
-    c = F.regexp_replace(c, _TRACKING, "")
+    c = F.regexp_replace(c, _TRACKING, r"$1")
     c = F.regexp_replace(c, r"\?&+", "?")
     c = F.regexp_replace(c, r"&&+", "&")
     c = F.regexp_replace(c, r"[?&]+$", "")

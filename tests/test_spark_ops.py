@@ -579,6 +579,47 @@ def test_pipeline_output_partitioned_by_bucket(spark, tmp_path):
     assert "part_id" in pf and "IN (1,2)" in pf, pf
 
 
+def test_null_text_discipline(spark):
+    """NULL text (failed extractions carried forward) must never silently
+    delete or miscount rows: exact_dedup passes null rows through as their
+    own keepers, line_dedup treats them as empty docs, token_count counts
+    0 (not -1), analyze scores them like empty documents, and a corrupt
+    PNG payload lands in the error column instead of killing the task."""
+    from readability_php_spark.operators.dedup import exact_dedup, line_dedup
+    from readability_php_spark.operators.multimodal import (
+        encode_png,
+        extract_media_features,
+    )
+    from readability_php_spark.operators.text_analysis import analyze, token_count
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None), (5, "solo")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in exact_dedup(docs).collect()}
+    # dup pair collapses to keeper 1; BOTH null docs survive independently
+    assert kept == {1, 3, 4, 5}
+    ld = {r.id if hasattr(r, "id") else r.doc_id: r
+          for r in line_dedup(docs, min_count=2).collect()}
+    assert set(ld) == {1, 2, 3, 4, 5}  # no row vanishes
+    assert ld[3].text_clean == "" and ld[3].n_lines >= 0
+    tc = docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+    assert {r.doc_id: r.n for r in tc}[3] == 0
+    an = {r.doc_id: r for r in analyze(docs).collect()}
+    assert an[3].n_tokens == 0 and an[3].n_bpe_tokens == 0
+    assert an[3].quality < 0.5  # empty doc must not score like real text
+    # corrupt IDAT: zlib.error must become decode_error, not a task kill
+    good = encode_png(2, 2, bytes(12), color_type=2)
+    idat = good.index(b"IDAT")
+    corrupt = good[: idat + 8] + b"\x00" * 8 + good[idat + 16 :]
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(corrupt))],
+        "media_id long, kind string, payload binary",
+    )
+    row = extract_media_features(media, fake_decode=False).collect()[0]
+    assert row.error is not None and row.error.startswith("decode_error")
+
+
 def test_snapshot_log_time_travel(spark, tmp_path):
     """Iceberg-pattern snapshot log: each wave commit appends a file
     manifest; read_snapshot pins an as-of view that later waves and even
@@ -1302,6 +1343,13 @@ def test_canonical_url_cases(spark):
         ("http://ex.com/path/", "http://ex.com/path"),
         ("http://ex.com/", "http://ex.com/"),  # root slash kept
         ("http://ex.com/x?fbclid=abc", "http://ex.com/x"),
+        # boundary anchoring: a DIFFERENT param that merely contains a
+        # tracking name, a value containing 'gclid=', and a path segment
+        # must all survive untouched (regression: unanchored regex
+        # clipped inside them)
+        ("http://a.com/?xutm_source=5", "http://a.com/?xutm_source=5"),
+        ("http://a.com/?redirect=/p%3Fgclid=z", "http://a.com/?redirect=/p%3Fgclid=z"),
+        ("http://a.com/page/utm_campaign=foo", "http://a.com/page/utm_campaign=foo"),
         ("not-a-url", "not-a-url"),
     ]
     df = spark.createDataFrame([(c[0],) for c in cases], ["url"])
