@@ -99,7 +99,9 @@ def main() -> None:
         classifier = train_logreg(
             feats, dim=args.quality_dim, iterations=args.quality_iters, lr=1.0
         )
-        print(f"quality classifier trained on {feats.count()} labeled docs")
+        # labels.count() is a one-column scan of the tiny seed parquet;
+        # feats.count() here would re-run extract+scrub+embed end to end
+        print(f"quality classifier trained on {labels.count()} labeled docs")
 
     res = run_training_prep(
         spark,

@@ -376,7 +376,14 @@ def fuzzy_dedup(
     base = documents.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    cands = minhash_lsh_candidates(base, "text", num_hashes, bands, shingle_n)
+    # Docs with NO shingles (< shingle_n words) can never verify as
+    # near-dups — but they all share the sentinel minhash signature, so
+    # every band would funnel ALL of them into one quadratic LSH bucket
+    # (100k stub pages → ~5e9 candidate pairs in one task).  They are
+    # excluded from candidate generation and survive via the final
+    # anti-join, same as any other never-paired row.
+    lsh_in = base.filter(F.size(word_shingles(F.col("text"), shingle_n)) > 0)
+    cands = minhash_lsh_candidates(lsh_in, "text", num_hashes, bands, shingle_n)
     verified = ngram_jaccard_pairs(base, cands, "text", shingle_n).filter(
         F.col("jaccard") >= threshold
     )

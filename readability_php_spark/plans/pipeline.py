@@ -117,6 +117,15 @@ def _try_read_parquet(spark: SparkSession, path: str) -> Optional[DataFrame]:
         cond = get_cond() or ""
         if cond == "PATH_NOT_FOUND":
             return None
+        # an existing directory with NO readable parquet data — exactly
+        # what a crashed first append (_temporary only), a fully-filtered
+        # run (_SUCCESS only), or a torn checkpoint leaves behind — reads
+        # back as UNABLE_TO_INFER_SCHEMA and means "no committed output",
+        # not a failure: committed rows always carry an inferable schema,
+        # so this cannot mask real data (corrupt footers raise a different
+        # error class and still re-raise)
+        if cond == "UNABLE_TO_INFER_SCHEMA":
+            return None
         # older Spark builds surface missing paths without an error class
         # (or under a legacy one); match the message so a first run of a
         # resumable pipeline still maps "no output yet" → None there
@@ -265,20 +274,55 @@ def run_extract_job(
 
         # per-bucket lineage/metrics → manifest (append).  Column-pruned,
         # partition-pruned read-back: only this wave's part_id directories.
-        out = spark.read.parquet(output_path).select(
-            "part_id", "error", "attempts", "extract_ms", "html_bytes"
-        ).filter(F.col("part_id").isin(wave_buckets))
-        metrics = out.groupBy("part_id").agg(
-            F.count("*").alias("docs"),
-            F.sum("html_bytes").alias("bytes_in"),
-            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
-            F.sum("attempts").alias("attempts_total"),
-            F.sum("extract_ms").alias("extract_ms_total"),
-            F.max("extract_ms").alias("extract_ms_max"),
-            F.current_timestamp().alias("completed_at"),
-            F.lit(num_buckets).alias("num_buckets"),
-            F.lit(salt_seed).alias("salt_seed"),
+        # a bucket (or whole wave) that produced ZERO rows still
+        # completed — without explicit zero rows it never enters done_ids
+        # and every resume re-runs it forever (sparse url hashing,
+        # filtered-out waves); a fully-empty output also can't even be
+        # read back (_try_read_parquet → None)
+        all_ids = spark.createDataFrame(
+            [(int(b),) for b in wave_buckets], "part_id int"
         )
+        committed_out = _try_read_parquet(spark, output_path)
+        if committed_out is None:
+            metrics = all_ids.select(
+                "part_id",
+                F.lit(0).cast("long").alias("docs"),
+                F.lit(0).cast("long").alias("bytes_in"),
+                F.lit(0).cast("long").alias("errors"),
+                F.lit(0).cast("long").alias("attempts_total"),
+                F.lit(0).cast("long").alias("extract_ms_total"),
+                F.lit(0).cast("long").alias("extract_ms_max"),
+                F.current_timestamp().alias("completed_at"),
+                F.lit(num_buckets).alias("num_buckets"),
+                F.lit(salt_seed).alias("salt_seed"),
+            )
+        else:
+            out = committed_out.select(
+                "part_id", "error", "attempts", "extract_ms", "html_bytes"
+            ).filter(F.col("part_id").isin(wave_buckets))
+            agg = out.groupBy("part_id").agg(
+                F.count("*").alias("docs"),
+                F.sum("html_bytes").alias("bytes_in"),
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+                F.sum("attempts").alias("attempts_total"),
+                F.sum("extract_ms").alias("extract_ms_total"),
+                F.max("extract_ms").alias("extract_ms_max"),
+            )
+            metrics = (
+                all_ids.join(agg, "part_id", "left")
+                .fillna(
+                    0,
+                    subset=["docs", "bytes_in", "errors", "attempts_total",
+                            "extract_ms_total", "extract_ms_max"],
+                )
+                .select(
+                    "part_id", "docs", "bytes_in", "errors", "attempts_total",
+                    "extract_ms_total", "extract_ms_max",
+                    F.current_timestamp().alias("completed_at"),
+                    F.lit(num_buckets).alias("num_buckets"),
+                    F.lit(salt_seed).alias("salt_seed"),
+                )
+            )
         # snapshot BEFORE the manifest append: the manifest is what resume
         # trusts, so it must be the LAST thing a wave commits.  A crash
         # after the snapshot but before the manifest leaves the bucket

@@ -216,8 +216,17 @@ def read_snapshot(
     compactions are invisible.  ``part_id`` is recovered from the log
     (the raw file read bypasses partition-directory inference)."""
     log = _require_log(spark, output_path)
+    last = _last_sid(log)
     if snapshot_id is None:
-        snapshot_id = _last_sid(log)
+        snapshot_id = last
+    elif snapshot_id > last or snapshot_id < 1:
+        # an id the log never issued must fail LOUDLY: silently serving
+        # the moving latest view to a reader pinning a stale/foreign id
+        # would defeat the isolation the snapshot contract promises
+        raise ValueError(
+            f"unknown snapshot_id {snapshot_id}: log at "
+            f"{_log_path(output_path)} has snapshots 1..{last}"
+        )
     rows = _live_files(log, snapshot_id).select("file", "part_id").collect()
     out = _read_file_rows(spark, rows)
     if out is None:
@@ -247,8 +256,15 @@ def diff_snapshots(
     anti-join between the two file sets cancels that noise, so a pure
     compaction diffs to zero rows."""
     log = _require_log(spark, output_path)
+    last = _last_sid(log)
     if to_snapshot is None:
-        to_snapshot = _last_sid(log)
+        to_snapshot = last
+    if not (0 <= from_snapshot <= last) or not (1 <= to_snapshot <= last):
+        raise ValueError(
+            f"unknown snapshot range {from_snapshot}..{to_snapshot}: log at "
+            f"{_log_path(output_path)} has snapshots 1..{last} "
+            "(from_snapshot=0 means 'since the beginning')"
+        )
     a = _live_files(log, from_snapshot).select("file", "part_id")
     b = _live_files(log, to_snapshot).select("file", "part_id")
     gained = b.join(a.select("file"), "file", "left_anti").collect()

@@ -246,6 +246,16 @@ def run_training_prep(
         from ..operators.classify import score_logreg
         from ..operators.text_analysis import hashed_tf_embedding
 
+        if min_tokens < 1:
+            # the left_semi join below keeps only docs the classifier
+            # SCORED; a zero-token doc has no hashed-TF row, so it would
+            # vanish unscored and uncounted — enforce the invariant the
+            # join depends on instead of documenting it in a comment
+            raise ValueError(
+                "classifier-based filtering requires min_tokens >= 1 "
+                "(zero-token docs have no embedding row and would be "
+                "dropped silently)"
+            )
         weights, bias = classifier
         emb = hashed_tf_embedding(
             with_tokens, text_col="text", id_col="url", dim=len(weights)

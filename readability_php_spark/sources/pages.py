@@ -86,9 +86,9 @@ def fixture_corpus_df(
 
 
 #: Fixed page template applied to `documents` rows with pure column ops.
-#: Paragraph split: the document text is broken on '. ' boundaries into <p>
-#: blocks inside an article div, surrounded by boilerplate the extractor
-#: must strip (nav/header/footer/sidebar).
+#: Paragraph split: the document text is broken on newline runs (\n+) into
+#: <p> blocks inside an article div, surrounded by boilerplate the
+#: extractor must strip (nav/header/footer/sidebar).
 def documents_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(doc_id,text,lang,source,n_chars) → pages DataFrame, all
     JVM-side (concat/regexp only; no Python in the template path)."""

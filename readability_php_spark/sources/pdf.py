@@ -86,6 +86,8 @@ def _object_streams(raw: bytes) -> Iterator[tuple[dict, bytes]]:
         yield header, data
 
 
+_OCTAL = frozenset(b"0 1 2 3 4 5 6 7".split())
+
 _PDF_ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
     b"(": b"(", b")": b")", b"\\": b"\\",
@@ -103,14 +105,22 @@ def _decode_pdf_string(body: bytes) -> str:
                 out += _PDF_ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal escape, 1-3 digits
+            if nxt in _OCTAL:  # octal escape, 1-3 digits 0-7 (PDF spec);
+                # b"8"/b"9" are NOT octal — isdigit() here made int(_, 8)
+                # raise on malformed escapes like (\8) and kill the task
                 j = i + 1
-                while j < min(i + 4, n) and body[j : j + 1].isdigit():
+                while j < min(i + 4, n) and body[j : j + 1] in _OCTAL:
                     j += 1
                 out.append(int(body[i + 1 : j], 8) & 0xFF)
                 i = j
                 continue
-            i += 2  # line continuation / unknown escape: drop backslash
+            if nxt in (b"\n", b"\r"):  # line continuation: both dropped
+                i += 2
+                if nxt == b"\r" and body[i : i + 1] == b"\n":
+                    i += 1  # \<CRLF> consumes the full newline
+                continue
+            out += nxt  # unknown escape: backslash ignored, char kept
+            i += 2
             continue
         out += c
         i += 1
@@ -221,14 +231,17 @@ def read_pdf_directory(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-file yield: bounds RSS at one document's spans (see the
+        # WARC reader's identical discipline)
         for pdf in it:
-            rows = []
             for path_, content in zip(pdf["path"], pdf["content"]):
-                for page, x, y, text in extract_pdf_spans(bytes(content)):
-                    rows.append((path_, page, x, y, text))
-            yield pd.DataFrame(
-                rows, columns=["url", "page", "x", "y", "text"]
-            )
+                rows = [
+                    (path_, page, x, y, text)
+                    for page, x, y, text in extract_pdf_spans(bytes(content))
+                ]
+                yield pd.DataFrame(
+                    rows, columns=["url", "page", "x", "y", "text"]
+                )
 
     return files.mapInPandas(batches, schema=PDF_SPANS_SCHEMA)
 

@@ -55,7 +55,15 @@ def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
         if head_end < 0:
             break
         headers = _parse_headers(raw[start:head_end])
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            # Content-Length missing or malformed: without it the next
+            # record boundary is unknowable — scanning forward would match
+            # 'WARC/' INSIDE this record's payload and fabricate records
+            # with payload-controlled headers.  Stop parsing the archive
+            # at the last well-formed record instead of poisoning output.
+            break
         body_start = head_end + 4
         payload = raw[body_start : body_start + length]
         yield headers, payload
@@ -101,16 +109,19 @@ def read_warc_directory(spark: SparkSession, path: str, glob: str = "*.warc*") -
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one yielded frame PER ARCHIVE: accumulating a whole input batch
+        # of ~1 GB archives' decompressed records in one dict unbounds
+        # executor memory; per-archive yield caps RSS at one archive
         for pdf in it:
-            rows = {f.name: [] for f in PAGES_SCHEMA.fields}
             for raw in pdf["content"]:
+                rows = {f.name: [] for f in PAGES_SCHEMA.fields}
                 for url, ts, html, text, lang in warc_records_to_rows(bytes(raw)):
                     rows["url"].append(url)
                     rows["warc_ts"].append(ts)
                     rows["html"].append(html)
                     rows["text"].append(text)
                     rows["lang"].append(lang)
-            yield pd.DataFrame(rows)
+                yield pd.DataFrame(rows)
 
     return files.mapInPandas(batches, schema=PAGES_SCHEMA)
 
@@ -170,16 +181,18 @@ def read_wet_directory(spark: SparkSession, path: str, glob: str = "*.wet*") -> 
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-archive yield: see read_warc_directory (bounds RSS at one
+        # archive's records instead of a whole input batch's)
         for pdf in it:
-            rows = {f.name: [] for f in PAGES_SCHEMA.fields}
             for raw in pdf["content"]:
+                rows = {f.name: [] for f in PAGES_SCHEMA.fields}
                 for url, ts, html, text, lang in wet_records_to_rows(bytes(raw)):
                     rows["url"].append(url)
                     rows["warc_ts"].append(ts)
                     rows["html"].append(html)
                     rows["text"].append(text)
                     rows["lang"].append(lang)
-            yield pd.DataFrame(rows)
+                yield pd.DataFrame(rows)
 
     return files.mapInPandas(batches, schema=PAGES_SCHEMA)
 

@@ -579,6 +579,64 @@ def test_pipeline_output_partitioned_by_bucket(spark, tmp_path):
     assert "part_id" in pf and "IN (1,2)" in pf, pf
 
 
+def test_resume_probes_treat_empty_dirs_as_absent(spark, tmp_path):
+    """An existing-but-dataless dir (what a crashed first append or a
+    fully-filtered run leaves: _SUCCESS only) must read as 'no committed
+    output' for every resume probe, not crash the resumable job."""
+    from readability_php_spark.plans.pipeline import _try_read_parquet
+
+    empty = tmp_path / "empty_out"
+    empty.mkdir()
+    (empty / "_SUCCESS").write_bytes(b"")
+    assert _try_read_parquet(spark, str(empty)) is None
+    # end-to-end: a filter matching zero rows creates the empty-output
+    # state; the rerun must resume cleanly instead of aborting
+    pages = fixture_corpus_df(spark, replicas=1).withColumn("lang", F.lit("en"))
+    out_dir = str(tmp_path / "zero_out")
+    res1 = run_extract_job(
+        spark, pages, out_dir, num_buckets=4, config=CFG,
+        lang_filter="xx", snapshots=False,
+    )
+    res2 = run_extract_job(
+        spark, pages, out_dir, num_buckets=4, config=CFG,
+        lang_filter="xx", snapshots=False,
+    )
+    # zero-row buckets still got manifest rows, so the rerun skips them
+    assert res1.buckets_done == 4 and res2.buckets_skipped == 4
+    m = spark.read.parquet(res1.manifest_path)
+    assert m.count() == 4 and m.agg(F.sum("docs")).first()[0] == 0
+
+
+def test_snapshot_unknown_id_rejected(spark, tmp_path):
+    from readability_php_spark.plans.snapshots import diff_snapshots, read_snapshot
+
+    out_dir = str(tmp_path / "sv_out")
+    pages = fixture_corpus_df(spark, replicas=1)
+    run_extract_job(spark, pages, out_dir, num_buckets=2, config=CFG)
+    with pytest.raises(ValueError, match="unknown snapshot_id"):
+        read_snapshot(spark, out_dir, 500)
+    with pytest.raises(ValueError, match="unknown snapshot range"):
+        diff_snapshots(spark, out_dir, 0, 500)
+
+
+def test_pdf_malformed_octal_and_warc_bad_length():
+    from readability_php_spark.sources.pdf import _decode_pdf_string
+    from readability_php_spark.sources.warc import iter_warc_records
+
+    # \8 and \9 are invalid octal: must not raise, backslash dropped
+    assert _decode_pdf_string(b"a\\8b") == "a8b"
+    assert _decode_pdf_string(b"a\\101b") == "aAb"  # valid octal still works
+    assert _decode_pdf_string(b"a\\779") == "a" + chr(0o77) + "9"
+    # malformed Content-Length stops the archive at the last good record
+    # instead of raising or fabricating records out of payload bytes
+    good = (b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 2\r\n"
+            b"\r\nhi\r\n\r\n")
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 12ab\r\n"
+           b"\r\nWARC/1.0 fake embedded\r\n\r\n")
+    recs = list(iter_warc_records(good + bad))
+    assert len(recs) == 1 and recs[0][1] == b"hi"
+
+
 def test_null_text_discipline(spark):
     """NULL text (failed extractions carried forward) must never silently
     delete or miscount rows: exact_dedup passes null rows through as their
