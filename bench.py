@@ -129,13 +129,15 @@ def main() -> None:
     ensure_corpus(spark)
     # warm-up: spawn python workers + JIT before the measured pass
     run_extraction(spark, CPUS)
-    # best-of-2 measured passes: hypervisor steal on this VM spikes on a
+    # best-of-3 measured passes: hypervisor steal on this VM spikes on a
     # seconds-to-minutes scale and a single-shot headline occasionally
-    # reads 5x slow (BENCH_r01 vs BENCH/BASELINE.md); same treatment the
-    # per-query times already get
+    # reads 5x slow (BENCH_r01 vs BENCH/BASELINE.md; a round-4 window saw
+    # back-to-back passes of 96 s and 24 s) — a third pass materially
+    # improves the odds one lands in a quiet stretch
     sec_a, docs = run_extraction(spark, CPUS)
     sec_b, _ = run_extraction(spark, CPUS)
-    sec = min(sec_a, sec_b)
+    sec_c, _ = run_extraction(spark, CPUS)
+    sec = min(sec_a, sec_b, sec_c)
     spin = _ambient_spin()  # ~0.49s quiet; higher = steal during this window
     qtimes = run_queries(spark)
     docs_per_sec = round(docs / sec, 2)
@@ -147,6 +149,7 @@ def main() -> None:
                 "value": docs_per_sec,
                 "unit": "docs/sec",
                 "queries": {**qtimes, "extract_corpus_sec": round(sec, 2),
+                            "extract_corpus_sec_pass3": round(sec_c, 2),
                             "extract_corpus_sec_pass1": round(sec_a, 2),
                             "extract_corpus_sec_pass2": round(sec_b, 2),
                             "ambient_spin_sec": round(spin, 3),
