@@ -145,7 +145,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "docs/sec (end-to-end extraction, fixture corpus "
-                f"x{REPLICAS}, local[{CPUS}], best of 2)",
+                f"x{REPLICAS}, local[{CPUS}], best of 3)",
                 "value": docs_per_sec,
                 "unit": "docs/sec",
                 "queries": {**qtimes, "extract_corpus_sec": round(sec, 2),
