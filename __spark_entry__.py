@@ -11,6 +11,7 @@ reproduce byte-for-byte after wrapping the documents in boilerplate HTML.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import sys
 from collections.abc import Callable
@@ -23,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from readability_php_spark.config import Configuration  # noqa: E402
 from readability_php_spark.operators.dedup import (  # noqa: E402
     connected_components,
+    exact_dedup,
     exact_duplicates,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -31,7 +33,6 @@ from readability_php_spark.operators.dedup import (  # noqa: E402
 from readability_php_spark.operators.extract import extract_operator  # noqa: E402
 from readability_php_spark.operators.multimodal import (  # noqa: E402
     extract_media_features,
-    synthetic_media_df,
 )
 from readability_php_spark.operators.similarity import (  # noqa: E402
     ann_topk,
@@ -39,7 +40,6 @@ from readability_php_spark.operators.similarity import (  # noqa: E402
     embedding_near_dups,
     ivf_topk,
 )
-from readability_php_spark.operators.dedup import exact_dedup  # noqa: E402
 from readability_php_spark.operators.text_analysis import analyze  # noqa: E402
 from readability_php_spark.operators.urls import url_dedup  # noqa: E402
 from readability_php_spark.plans.pipeline import tune_session_for_extraction  # noqa: E402
@@ -76,20 +76,45 @@ def _extracted(
     key = (id(spark), sf_dir, cfg)
     cached = _extract_cache.get(key)
     if cached is not None:
-        return cached
+        return cached[1]
     tune_session_for_extraction(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see load_table
     pages = documents_corpus_df(spark, sf_dir)
     out = extract_operator(pages, cfg).withColumn(
         "doc_id", F.regexp_extract("url", r"/doc/(\d+)\.html", 1).cast("long")
     )
     out = out.persist()
-    _extract_cache[key] = out
+    # the cache entry holds the SESSION too: id(spark) is an address that
+    # CPython recycles after a stopped session is collected, and an
+    # aliased key would hand a later session a DataFrame bound to a dead
+    # SparkContext.  Keeping the reference pins the address for the
+    # cache's lifetime.
+    _extract_cache[key] = (spark, out)
     return out
 
 
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
+
+def _fixture_tag(sf_dir: str) -> str:
+    """Cache key for the on-disk WET/WARC/PDF gate fixtures: the corpus
+    directory's identity PLUS the documents table's (mtime, size), so a
+    regenerated corpus — or a different corpus whose directory shares the
+    same basename — invalidates the /tmp fixture instead of serving stale
+    shards whose md5s can no longer match the oracle."""
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(docs_path)
+        stamp = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        stamp = "nostat"
+    base = os.path.basename(os.path.normpath(sf_dir))
+    digest = hashlib.md5(
+        os.path.abspath(sf_dir).encode() + b"|" + stamp.encode()
+    ).hexdigest()[:10]
+    return f"{base}_{digest}"
+
 
 def q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction pipeline must recover each document's text exactly
@@ -338,7 +363,7 @@ def q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
         F.col("doc_id") < 300
     )
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _fixture_tag(sf_dir)
     wdir = os.path.join(tempfile.gettempdir(), f"wet_gate_{tag}")
     marker = os.path.join(wdir, "_done")
     if not os.path.exists(marker):
@@ -375,7 +400,7 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
         F.col("doc_id") < 200
     )
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _fixture_tag(sf_dir)
     wdir = os.path.join(tempfile.gettempdir(), f"warc_gate_{tag}")
     marker = os.path.join(wdir, "_done")
     if not os.path.exists(marker):
@@ -411,7 +436,7 @@ def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.regexp_replace("text", "\n", " ").alias("text")
     ).filter(F.col("doc_id") < 100)
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _fixture_tag(sf_dir)
     pdir = os.path.join(tempfile.gettempdir(), f"pdf_gate_{tag}")
     marker = os.path.join(pdir, "_done")
     if not os.path.exists(marker):
@@ -995,14 +1020,20 @@ def q_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("sessions_stream gate: stream did not drain in 300s")
-    # the memory sink holds the results in the driver; the staged source
-    # parquet is no longer needed — don't leak a temp dir per invocation
     import shutil
 
-    shutil.rmtree(src, ignore_errors=True)
+    try:
+        if not q.awaitTermination(300):
+            raise RuntimeError(
+                "sessions_stream gate: stream did not drain in 300s"
+            )
+    finally:
+        # stop a still-running query on ANY exit path, and drop the
+        # staged source parquet — the memory sink already holds the
+        # results in the driver
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(src, ignore_errors=True)
     return (
         spark.table(qname)
         .filter(F.col("session_start") < cutoff)

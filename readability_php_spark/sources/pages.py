@@ -137,5 +137,12 @@ def documents_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet loader for the driver-generated tables (TESTDATA.md)."""
+    """Parquet loader for the driver-generated tables (TESTDATA.md).
+
+    Pins the session timezone to UTC (idempotent): parquet stores
+    instants, Spark renders them in the SESSION timezone, and every
+    DuckDB oracle compares naive-UTC wall clocks — without the pin, a
+    harness running under TZ=America/New_York would shift every
+    timestamp-bearing gate by the zone offset and fail correct code."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -17,6 +17,9 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.log.level", "ERROR")
+        # timestamp assertions compare against naive-UTC wall clocks;
+        # pin the session tz so tests pass under any host TZ
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
     yield s

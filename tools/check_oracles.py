@@ -26,10 +26,17 @@ def value_hash(pdf) -> str:
     for c in pdf.columns:
         col = pdf[c]
         if col.dtype == object:
-            pdf[c] = col.apply(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                type(v).__name__ == "ndarray" else v
-            )
+            # normalize array cells ELEMENT-WISE too: numpy scalars repr
+            # differently across numpy versions/engines ('np.float64(1.0)'
+            # vs '1.0'), which would hash-mismatch identical data
+            def norm(v):
+                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                    return tuple(
+                        x.item() if hasattr(x, "item") else x for x in v
+                    )
+                return v
+
+            pdf[c] = col.apply(norm)
     rows = sorted(
         tuple(str(x) for x in row) for row in pdf.itertuples(index=False, name=None)
     )
@@ -53,6 +60,11 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.driver.memory", "8g")
         .config("spark.log.level", "ERROR")
+        # timestamp gates compare Spark's session-tz rendering against the
+        # oracles' naive-UTC wall clocks — pin UTC so a host TZ can't
+        # shift every instant by the zone offset (the gate queries also
+        # pin it via load_table; this covers the session from creation)
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
     con = duckdb.connect()
@@ -61,8 +73,23 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    try:
+        return _run(spark, con, entrymod, sf_dir, only)
+    finally:
+        # a KeyboardInterrupt or exotic dtype error must not orphan the
+        # 8g local JVM
+        spark.stop()
+        con.close()
+
+
+def _run(spark, con, entrymod, sf_dir, only) -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter must fail loudly, not run zero checks and exit 0
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        return 1
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -109,7 +136,6 @@ def main() -> int:
             failures += 1
             continue
         print(f"OK    {name}: {len(sdf)} rows, hash {hs} [{spark_t:.1f}s]")
-    spark.stop()
     return failures
 
 
