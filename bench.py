@@ -85,6 +85,10 @@ def run_extraction(spark, cores: int) -> tuple[float, int]:
     n = pages.count()
     shutil.rmtree(OUT_PATH, ignore_errors=True)
     shutil.rmtree(OUT_PATH + "_manifest", ignore_errors=True)
+    # the snapshot log must reset with its table: a stale log from a prior
+    # pass would grow the commit's known-file set every pass and poison
+    # as-of reads of the fresh output
+    shutil.rmtree(OUT_PATH + "_snapshots", ignore_errors=True)
     t0 = time.time()
     run_extract_job(
         spark,

@@ -381,8 +381,14 @@ def fuzzy_dedup(
     # every band would funnel ALL of them into one quadratic LSH bucket
     # (100k stub pages → ~5e9 candidate pairs in one task).  They are
     # excluded from candidate generation and survive via the final
-    # anti-join, same as any other never-paired row.
-    lsh_in = base.filter(F.size(word_shingles(F.col("text"), shingle_n)) > 0)
+    # anti-join, same as any other never-paired row.  The predicate
+    # "has at least one shingle" is exactly "word count >= shingle_n"
+    # (word_shingles emits cnt-(n-1) grams), so test that directly —
+    # one split, no O(tokens*n) gram construction discarded after a
+    # size check.
+    lsh_in = base.filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= F.lit(shingle_n)
+    )
     cands = minhash_lsh_candidates(lsh_in, "text", num_hashes, bands, shingle_n)
     verified = ngram_jaccard_pairs(base, cands, "text", shingle_n).filter(
         F.col("jaccard") >= threshold

@@ -65,8 +65,13 @@ class ExtractJobResult:
     buckets_done: int
     buckets_skipped: int
     waves_run: int
-    #: id of the last snapshot committed to the Iceberg-pattern snapshot
-    #: log (plans/snapshots.py); None when snapshotting is disabled
+    #: id of the LATEST snapshot in the Iceberg-pattern snapshot log
+    #: (plans/snapshots.py) after this run — whether committed by this
+    #: run or a previous one (an all-skipped resume still reports the
+    #: log's max id).  None means "no snapshot exists": snapshotting was
+    #: disabled, or it is enabled but no wave has ever committed files
+    #: (e.g. a fully-filtered run).  Every non-None value is accepted by
+    #: read_snapshot().
     last_snapshot_id: "int | None" = None
 
 
@@ -221,11 +226,33 @@ def run_extract_job(
     # first data append and the first manifest append leaves committed rows
     # with no manifest at all, and rerunning must still not duplicate them.
     committed = _try_read_parquet(spark, output_path) if resume else None
+    if resume and snapshots:
+        # After compact+vacuum maintenance, some buckets' live rows exist
+        # ONLY under the _compacted staging dir, which the raw directory
+        # read above skips — without this union a post-vacuum resume would
+        # re-extract those urls and the next commit would duplicate them
+        # in the latest snapshot.
+        from .snapshots import _read_file_rows, live_compacted_files
+
+        staged = _read_file_rows(spark, live_compacted_files(spark, output_path))
+        if staged is not None:
+            committed = (
+                staged
+                if committed is None
+                else committed.unionByName(staged, allowMissingColumns=True)
+            )
 
     wave_size = max(1, (num_buckets + waves - 1) // waves)
     waves_run = 0
     buckets_done = 0
     last_snapshot_id = None
+    snap_cache = None
+    if snapshots:
+        from .snapshots import SnapshotLogCache, commit_snapshot
+
+        # one driver-side log read for the whole run; every wave's commit
+        # extends the cache locally instead of re-reading the log
+        snap_cache = SnapshotLogCache()
     for lo in range(0, num_buckets, wave_size):
         hi = min(lo + wave_size, num_buckets)
         wave_buckets = [b for b in range(lo, hi) if not (done_ids and b in done_ids)]
@@ -331,11 +358,23 @@ def run_extract_job(
         # manifest append completes; the reverse order would leave files
         # that are manifest-done but invisible to every future snapshot.
         if snapshots:
-            from .snapshots import commit_snapshot
-
-            last_snapshot_id = commit_snapshot(spark, output_path, wave_buckets)
+            last_snapshot_id = commit_snapshot(
+                spark, output_path, wave_buckets, cache=snap_cache
+            )
 
         metrics.write.mode("append").parquet(manifest_path)
+
+    if snapshots and not last_snapshot_id:
+        # normalize the no-commit cases so callers can rely on "non-None
+        # ⇒ read_snapshot accepts it": an all-skipped resume (no wave ran)
+        # reports the pre-existing log's max id; a run whose waves all
+        # committed nothing (fully filtered) reports None, same as
+        # snapshotting disabled — commit_snapshot's raw return there is 0,
+        # an id read_snapshot rejects
+        from .snapshots import _last_sid, _read_log_rows
+
+        sid = _last_sid(_read_log_rows(spark, output_path))
+        last_snapshot_id = sid if sid > 0 else None
 
     return ExtractJobResult(
         output_path=output_path,

@@ -607,6 +607,63 @@ def test_resume_probes_treat_empty_dirs_as_absent(spark, tmp_path):
     assert m.count() == 4 and m.agg(F.sum("docs")).first()[0] == 0
 
 
+def test_resume_after_compact_vacuum_no_duplicates(spark, tmp_path):
+    """Compact → vacuum leaves some buckets' live rows only under the
+    _compacted staging dir, which a raw directory read skips.  A resume
+    after that maintenance must still see those urls as committed — NOT
+    re-extract them and duplicate rows in the next snapshot (round-4
+    ADVICE finding)."""
+    from readability_php_spark.plans.snapshots import (
+        compact_snapshots,
+        read_snapshot,
+        vacuum_snapshots,
+    )
+
+    out_dir = str(tmp_path / "rv_out")
+    pages = fixture_corpus_df(spark, replicas=1)
+    run_extract_job(
+        spark, pages, out_dir, num_buckets=2, config=CFG, files_per_bucket=3
+    )
+    sid = compact_snapshots(spark, out_dir, target_file_bytes=1 << 30)
+    with pytest.warns(UserWarning, match="raw directory read"):
+        vacuum_snapshots(spark, out_dir, retain_from=sid)
+    # maintenance done: raw view is incomplete by design (here: fully
+    # vacuumed — every bucket compacted, so no raw data files remain at
+    # all), snapshot view is full
+    from readability_php_spark.plans.pipeline import _try_read_parquet
+
+    raw = _try_read_parquet(spark, out_dir)
+    assert raw is None or raw.count() < 89
+    assert read_snapshot(spark, out_dir).count() == 89
+    # resume with a FRESH manifest (simulating a crash-window rerun where
+    # manifest state was lost): committed-rows anti-join must cover the
+    # vacuumed buckets via the snapshot log, so nothing is re-extracted
+    res = run_extract_job(
+        spark, pages, out_dir, num_buckets=2, config=CFG,
+        manifest_path=str(tmp_path / "m_fresh"),
+    )
+    assert read_snapshot(spark, out_dir).count() == 89  # no dupes
+    assert res.last_snapshot_id == sid  # nothing new → log max reported
+
+
+def test_extract_job_snapshot_id_contract(spark, tmp_path):
+    """last_snapshot_id: non-None ⇔ a snapshot exists that read_snapshot
+    accepts.  A fully-filtered fresh run (no files ever committed) must
+    report None even with snapshots enabled; an all-skipped resume must
+    report the pre-existing log's max id."""
+    pages = fixture_corpus_df(spark, replicas=1).withColumn("lang", F.lit("en"))
+    out_dir = str(tmp_path / "c_out")
+    res = run_extract_job(
+        spark, pages, out_dir, num_buckets=2, config=CFG, lang_filter="xx"
+    )
+    assert res.last_snapshot_id is None  # enabled but nothing committed
+    out2 = str(tmp_path / "c_out2")
+    r1 = run_extract_job(spark, pages, out2, num_buckets=2, config=CFG)
+    r2 = run_extract_job(spark, pages, out2, num_buckets=2, config=CFG)
+    assert r1.last_snapshot_id == 1
+    assert r2.buckets_skipped == 2 and r2.last_snapshot_id == 1
+
+
 def test_snapshot_unknown_id_rejected(spark, tmp_path):
     from readability_php_spark.plans.snapshots import diff_snapshots, read_snapshot
 
@@ -1336,6 +1393,31 @@ def test_fuzzy_dedup_transitive_collapse(spark):
     sdocs = docs.select(F.concat(F.lit("u"), F.col("doc_id")).alias("url"), "text")
     kept_s = sorted(r.url for r in fuzzy_dedup(sdocs, id_col="url").collect())
     assert kept_s == ["u1", "u9"]
+
+
+def test_fuzzy_dedup_short_docs_skip_lsh_and_survive(spark):
+    """Docs with < shingle_n words have no shingles; they must (a) all
+    survive (never comparable as near-dups) and (b) be excluded from LSH
+    candidate generation via a cheap word-count predicate — not by
+    recomputing the full shingle array as a filter (the round-4 perf
+    regression: O(tokens*n) gram construction discarded after a size
+    test)."""
+    import inspect
+
+    from readability_php_spark.operators import dedup as dd
+
+    rows = [(i, "hi") for i in range(50)] + [
+        (100, " ".join(f"w{j}" for j in range(60))),
+        (101, " ".join(f"w{j}" for j in range(60)) + " tail"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in dd.fuzzy_dedup(docs, threshold=0.8).collect())
+    # all 50 shingle-less docs survive; 100/101 collapse to min id
+    assert kept == list(range(50)) + [100]
+    # the LSH-input filter must not rebuild shingles for the size test
+    src = inspect.getsource(dd.fuzzy_dedup)
+    filter_block = src.split("lsh_in", 1)[1].split("minhash_lsh_candidates", 1)[0]
+    assert "word_shingles" not in filter_block
 
 
 def test_line_dedup_cap_pathological_doc(spark):
