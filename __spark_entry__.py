@@ -118,19 +118,23 @@ def _fixture_tag(sf_dir: str) -> str:
 
 def q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction pipeline must recover each document's text exactly
-    (whitespace-insensitive: paragraph structure replaces newline runs)."""
+    (whitespace-insensitive: paragraph structure replaces newline runs)
+    AND its metadata title — one row per document: ``title`` checked for
+    every doc, ``text_nows`` null for docs below the roundtrip length
+    floor.  (The former extract_title_roundtrip gate folded in, freeing
+    a registry slot for the storage-layer gate within the 50-query cap.)"""
     out = _extracted(spark, sf_dir, ROUNDTRIP_CONFIG)
     stripped = F.regexp_replace(F.col("extracted_text"), r"[\s ]+", "")
     return (
-        out.select("doc_id", stripped.alias("text_nows"))
-        .filter(F.length("text_nows") >= MIN_STRIPPED)
+        out.select(
+            "doc_id",
+            "title",
+            F.when(F.length(stripped) >= MIN_STRIPPED, stripped).alias(
+                "text_nows"
+            ),
+        )
         .orderBy("doc_id")
     )
-
-
-def q_extract_title_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = _extracted(spark, sf_dir)
-    return out.select("doc_id", "title").orderBy("doc_id")
 
 
 def q_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,6 +150,83 @@ def q_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
         )
         .orderBy("lang")
+    )
+
+
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layer gate: the Iceberg-pattern snapshot log's as-of reads,
+    change feed, and compaction exercised end-to-end every run — two
+    waves of documents committed as snapshots 1 and 2, a small-file
+    compaction committed as snapshot 3, then three views returned:
+
+    - ``asof1``   — read_snapshot(..., 1): must be exactly wave 1, even
+      though waves 2's files and the compacted rewrites are on disk;
+    - ``latest``  — read_snapshot(...): the post-compaction view, which
+      must still be all rows (compaction rewrites files, never rows);
+    - ``delta12`` — diff_snapshots(1, 2) rows with change='added': must
+      be exactly wave 2 (and the 'removed' side empty for pure appends).
+
+    The DuckDB twin computes the same three views straight off the
+    documents table, so a hash match proves snapshot isolation, row
+    conservation under compaction, and the change feed jointly.  The
+    scratch table is rebuilt from scratch each call (no fixture caching)
+    so the gate always exercises the LIVE commit/read/compact/diff code.
+    """
+    import shutil
+    import tempfile
+
+    from readability_php_spark.plans.snapshots import (
+        commit_snapshot,
+        compact_snapshots,
+        diff_snapshots,
+        read_snapshot,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            "lang",
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+            F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("part_id"),
+        )
+    )
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"snap_gate_{_fixture_tag(sf_dir)}"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    table = os.path.join(scratch, "table")
+    part_ids = [0, 1, 2, 3]
+    for lo, hi in ((0, 50), (50, 100)):
+        (
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("part_id")
+            .parquet(table)
+        )
+        commit_snapshot(spark, table, part_ids)
+    compact_snapshots(spark, table, min_files=2)
+    cols = ["doc_id", "lang", "text_md5"]
+    asof1 = read_snapshot(spark, table, 1).select(*cols).withColumn(
+        "view", F.lit("asof1")
+    )
+    latest = read_snapshot(spark, table).select(*cols).withColumn(
+        "view", F.lit("latest")
+    )
+    delta = (
+        diff_snapshots(spark, table, 1, 2)
+        .filter(F.col("change") == "added")
+        .select(*cols)
+        .withColumn("view", F.lit("delta12"))
+    )
+    return (
+        asof1.unionByName(latest)
+        .unionByName(delta)
+        .orderBy("view", "doc_id")
     )
 
 
@@ -1217,8 +1298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gates lead."""
     return {
         "extract_roundtrip": q_extract_roundtrip,
-        "extract_title_roundtrip": q_extract_title_roundtrip,
         "extract_stats": q_extract_stats,
+        "snapshot_time_travel": q_snapshot_time_travel,
         "media_features": q_media_features,
         "sessions_stream": q_sessions_stream,
         "chunk_pack": q_chunk_pack,
@@ -1474,7 +1555,7 @@ def _pagerank_sql(
 _LM_SCORE_SQL = """
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     list_filter(string_split_regex(trim(text), '\\s+'),
                                  x -> x <> '') AS a
               FROM documents WHERE doc_id < 200),
             big AS (
@@ -1615,14 +1696,29 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "extract_roundtrip": f"""
-            SELECT doc_id, regexp_replace(text, '[\\s ]+', '', 'g') AS text_nows
-            FROM documents
-            WHERE length(regexp_replace(text, '[\\s ]+', '', 'g')) >= {MIN_STRIPPED}
-            ORDER BY doc_id
+            WITH nws AS (
+              SELECT doc_id,
+                     'Document ' || doc_id || ' - SynthCorp' AS title,
+                     regexp_replace(text, '[\\s ]+', '', 'g') AS t
+              FROM documents)
+            SELECT doc_id, title,
+                   CASE WHEN length(t) >= {MIN_STRIPPED} THEN t END AS text_nows
+            FROM nws ORDER BY doc_id
         """,
-        "extract_title_roundtrip": """
-            SELECT doc_id, 'Document ' || doc_id || ' - SynthCorp' AS title
-            FROM documents ORDER BY doc_id
+        # snapshot_time_travel: the oracle is the ground truth the three
+        # snapshot views must reconstruct — wave 1 (as-of-1 isolation),
+        # all rows (post-compaction latest), wave 2 (the 1->2 change feed)
+        "snapshot_time_travel": """
+            WITH d AS (
+              SELECT doc_id, lang, md5(text) AS text_md5
+              FROM documents WHERE doc_id < 100)
+            SELECT doc_id, lang, text_md5, 'asof1' AS view
+            FROM d WHERE doc_id < 50
+            UNION ALL
+            SELECT doc_id, lang, text_md5, 'latest' FROM d
+            UNION ALL
+            SELECT doc_id, lang, text_md5, 'delta12' FROM d WHERE doc_id >= 50
+            ORDER BY view, doc_id
         """,
         "extract_stats": """
             SELECT lang, count(*) AS docs, 0::BIGINT AS errors
@@ -2037,7 +2133,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": """
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     list_filter(string_split_regex(trim(text), '\\s+'),
                                  x -> x <> '') AS a
               FROM documents WHERE doc_id < 200),
             st AS (
@@ -2176,7 +2272,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_pack": """
             WITH toks AS (
               SELECT doc_id, lang,
-                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     list_filter(string_split_regex(trim(text), '\\s+'),
                                  x -> x <> '') AS a
               FROM documents WHERE doc_id < 200),
             st AS (

@@ -63,45 +63,17 @@ def main() -> None:
 
     pages = spark.read.parquet(args.input)
 
-    classifier = None
+    # The classifier (if requested) trains INSIDE run_training_prep, on
+    # the labeled urls' text exactly as the scoring stage sees it —
+    # extract → scrub → dedup → line-dedup → token filter — closing the
+    # train/serve feature skew a pre-pipeline trainer can't avoid
+    # (line_dedup's counts come from the full corpus and can't be
+    # replayed on a seed set).
+    labels = None
     if args.quality_labels:
-        # Train the quality model from the labeled seed set BEFORE the main
-        # run: extract just the labeled urls (tiny vs the corpus), embed,
-        # and fit.  The fitted (weights, bias) then rides the main pipeline
-        # as a broadcast literal.
-        from pyspark.sql import functions as F
-
-        from readability_php_spark.config import Configuration
-        from readability_php_spark.operators.classify import train_logreg
-        from readability_php_spark.operators.extract import extract_operator
-        from readability_php_spark.operators.scrub import scrub_pii
-        from readability_php_spark.operators.text_analysis import hashed_tf_embedding
-
         labels = spark.read.parquet(args.quality_labels).select("url", "label")
-        sample = pages.join(labels.select("url"), "url", "left_semi")
-        # Train on the SAME text transform the pipeline scores: extract →
-        # scrub_pii, so PII tokens present at training time aren't absent
-        # at scoring time (train/serve feature skew).  line_dedup is NOT
-        # replayed here — its line counts come from the full corpus and
-        # can't be reproduced on a seed set; the residual boilerplate-line
-        # skew is accepted (boilerplate is a tiny share of hashed-TF mass
-        # vs the PII/regex rewrites scrub_pii applies).
-        text = scrub_pii(
-            extract_operator(sample, Configuration(substitute_entities=True))
-            .filter(F.col("error").isNull())
-            .select("url", F.col("extracted_text").alias("text")),
-            text_col="text",
-            out_col="text_s",
-        ).select("url", F.col("text_s").alias("text"))
-        feats = hashed_tf_embedding(
-            text, text_col="text", id_col="url", dim=args.quality_dim
-        ).join(labels, "url")
-        classifier = train_logreg(
-            feats, dim=args.quality_dim, iterations=args.quality_iters, lr=1.0
-        )
-        # labels.count() is a one-column scan of the tiny seed parquet;
-        # feats.count() here would re-run extract+scrub+embed end to end
-        print(f"quality classifier trained on {labels.count()} labeled docs")
+        # labels.count() is a one-column scan of the tiny seed parquet
+        print(f"quality classifier will train on {labels.count()} labeled docs")
 
     res = run_training_prep(
         spark,
@@ -113,7 +85,9 @@ def main() -> None:
         line_min_count=args.line_min_count,
         fuzzy=not args.no_fuzzy,
         fuzzy_threshold=args.fuzzy_threshold,
-        classifier=classifier,
+        quality_labels=labels,
+        quality_dim=args.quality_dim,
+        quality_iters=args.quality_iters,
         classifier_threshold=args.quality_threshold,
         checkpoint_dir=args.checkpoint_dir,
     )

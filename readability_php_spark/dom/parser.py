@@ -50,8 +50,23 @@ _FAST_ATTR_OR_END = re.compile(
 _FAST_ENDTAG = re.compile(r"</([a-zA-Z][a-zA-Z0-9:._-]*)\s*>")
 
 #: verbatim start-tag memo (see TreeBuilder.parse_starttag): raw bytes up
-#: to the first '>' → (tag, attrs tuple, startend); cleared at cap
+#: to the first '>' → (tag, attrs tuple, startend); cleared at entry cap
+#: AND at a key-byte budget — keys run up to 4 KB, so an entry cap alone
+#: would let an adversarial corpus of distinct near-4KB tags pin ~1 GB per
+#: long-lived worker; the byte budget bounds worst-case resident memory at
+#: tens of MB (values are the same order as their keys)
 _TAG_CACHE: dict = {}
+_TAG_CACHE_BYTES = 0
+_TAG_CACHE_BYTE_CAP = 16 * 1024 * 1024
+
+
+def _tag_cache_put(raw_tag: str, entry: tuple) -> None:
+    global _TAG_CACHE_BYTES
+    if len(_TAG_CACHE) >= 200_000 or _TAG_CACHE_BYTES >= _TAG_CACHE_BYTE_CAP:
+        _TAG_CACHE.clear()
+        _TAG_CACHE_BYTES = 0
+    _TAG_CACHE[raw_tag] = entry
+    _TAG_CACHE_BYTES += len(raw_tag)
 
 # Open-element stack depth cap: beyond this, new elements are inserted as
 # leaves (immediately closed).  Bounds every stack scan on adversarial input.
@@ -196,9 +211,7 @@ class TreeBuilder(HTMLParser):
             tag = tag.lower()
             end = m.end()  # match() anchored at i+1 → end is absolute
             if raw_tag is not None and end == gt + 1:
-                if len(_TAG_CACHE) >= 200_000:
-                    _TAG_CACHE.clear()
-                _TAG_CACHE[raw_tag] = (tag, (), bool(term), {})
+                _tag_cache_put(raw_tag, (tag, (), bool(term), {}))
             self.lasttag = tag
             if term:
                 self.handle_startendtag(tag, [])
@@ -229,8 +242,6 @@ class TreeBuilder(HTMLParser):
             attrs.append((name.lower(), value))
         tag = tag.lower()
         if raw_tag is not None and j == gt + 1:
-            if len(_TAG_CACHE) >= 200_000:
-                _TAG_CACHE.clear()
             # precompute the merged attr dict once per verbatim tag: the
             # first-wins + bool-minimization result _merge_attrs would
             # produce into an EMPTY element (the generic-element case)
@@ -238,7 +249,7 @@ class TreeBuilder(HTMLParser):
             for n, v in attrs:
                 if n not in d:
                     d[n] = v if v is not None else n
-            _TAG_CACHE[raw_tag] = (tag, tuple(attrs), startend, d)
+            _tag_cache_put(raw_tag, (tag, tuple(attrs), startend, d))
         self.lasttag = tag
         if startend:
             self.handle_startendtag(tag, attrs)

@@ -70,8 +70,11 @@ def initialize_node(node: Element, weight_classes: bool) -> Element:
 #: class/id attribute values repeat heavily (template markup, and the bench
 #: corpus replicates fixture pages), so the ±25 classification of a string
 #: is memoized — a pure function of the string, identical output to the
-#: regex pair, bounded by the clear-at-cap guard
+#: regex pair, bounded by the entry cap and a key-byte budget (keys up to
+#: 4 KB x 100k entries would otherwise pin ~400 MB per long-lived worker)
 _WEIGHT_CACHE: dict = {}
+_WEIGHT_BYTES = 0
+_WEIGHT_BYTE_CAP = 16 * 1024 * 1024
 
 
 def _string_weight(s: str) -> int:
@@ -85,8 +88,10 @@ def _string_weight(s: str) -> int:
         return w
     w = _WEIGHT_CACHE.get(s)
     if w is None:
-        if len(_WEIGHT_CACHE) >= 100_000:
+        global _WEIGHT_BYTES
+        if len(_WEIGHT_CACHE) >= 100_000 or _WEIGHT_BYTES >= _WEIGHT_BYTE_CAP:
             _WEIGHT_CACHE.clear()
+            _WEIGHT_BYTES = 0
         w = 0
         if php_trim(s):
             if REGEXPS["negative"].search(s):
@@ -94,6 +99,7 @@ def _string_weight(s: str) -> int:
             if REGEXPS["positive"].search(s):
                 w += 25
         _WEIGHT_CACHE[s] = w
+        _WEIGHT_BYTES += len(s)
     return w
 
 

@@ -66,9 +66,15 @@ def check_byline(ctx, node: Node, match_string: str) -> bool:
 # class+id match strings repeat heavily across nodes and documents
 # (template markup; the bench corpus replicates fixture pages), so the
 # three per-node regex classifications are memoized per string — pure
-# functions of their input, byte-identical outcomes, cleared at cap
+# functions of their input, byte-identical outcomes, cleared at the entry
+# cap AND at a key-byte budget (a corpus of distinct multi-KB match
+# strings under the per-key bound would otherwise pin entry_cap x 4 KB =
+# ~400 MB per long-lived worker; the budget caps it at tens of MB)
 _BYLINE_CACHE: dict = {}
+_BYLINE_BYTES = 0
 _F4_CACHE: dict = {}
+_F4_BYTES = 0
+_MEMO_BYTE_CAP = 16 * 1024 * 1024
 
 
 #: per-key length bound: pathological pages with multi-KB unique class/id
@@ -81,10 +87,13 @@ def _byline_hit(match_string: str) -> bool:
         return REGEXPS["byline"].search(match_string) is not None
     v = _BYLINE_CACHE.get(match_string)
     if v is None:
-        if len(_BYLINE_CACHE) >= 100_000:
+        global _BYLINE_BYTES
+        if len(_BYLINE_CACHE) >= 100_000 or _BYLINE_BYTES >= _MEMO_BYTE_CAP:
             _BYLINE_CACHE.clear()
+            _BYLINE_BYTES = 0
         v = REGEXPS["byline"].search(match_string) is not None
         _BYLINE_CACHE[match_string] = v
+        _BYLINE_BYTES += len(match_string)
     return v
 
 
@@ -97,13 +106,16 @@ def _f4_unlikely(match_string: str) -> bool:
         )
     v = _F4_CACHE.get(match_string)
     if v is None:
-        if len(_F4_CACHE) >= 100_000:
+        global _F4_BYTES
+        if len(_F4_CACHE) >= 100_000 or _F4_BYTES >= _MEMO_BYTE_CAP:
             _F4_CACHE.clear()
+            _F4_BYTES = 0
         v = (
             REGEXPS["unlikelyCandidates"].search(match_string) is not None
             and REGEXPS["okMaybeItsACandidate"].search(match_string) is None
         )
         _F4_CACHE[match_string] = v
+        _F4_BYTES += len(match_string)
     return v
 
 

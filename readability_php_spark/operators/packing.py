@@ -127,6 +127,13 @@ def chunk_documents(
     suffix of it (already fully covered), and duplicated tail text in the
     training stream is exactly what chunking must not introduce.
 
+    **Text normalization**: case is PRESERVED, but ``chunk_text`` is the
+    tokens re-joined with single spaces — runs of whitespace (including
+    newlines, i.e. line/paragraph structure) collapse to one space.  That
+    is inherent to token-indexed windowing without offset bookkeeping;
+    callers that need verbatim text with structure intact should treat
+    chunking as opt-in lossy (``run_training_prep`` documents the same).
+
     This is the upstream complement of ``pack_documents``: chunking cuts
     oversized documents DOWN to the context budget, packing stitches
     small ones UP to it; run chunk → pack for constant-length batches.
@@ -143,7 +150,7 @@ def chunk_documents(
     if not 1 <= stride <= max_tokens:
         raise ValueError("stride must be in [1, max_tokens]")
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        F.split(F.trim(F.col(text_col)), r"\s+"),
         lambda x: x != F.lit(""),
     )
     base = docs.select(F.col(id_col).alias("id"), toks.alias("a")).filter(

@@ -84,6 +84,10 @@ def run_training_prep(
     fuzzy_bands: int = 4,
     classifier: Optional[tuple] = None,
     classifier_threshold: float = 0.5,
+    quality_labels: Optional[DataFrame] = None,
+    quality_dim: int = 64,
+    quality_iters: int = 20,
+    quality_lr: float = 1.0,
     chunk_max_tokens: Optional[int] = None,
     chunk_stride: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
@@ -104,6 +108,19 @@ def run_training_prep(
     embedding's two compact-key shuffles; scoring itself is a broadcast
     map.
 
+    ``quality_labels`` — a ``(url, label 0/1)`` DataFrame of seed
+    judgments — trains that classifier IN-PIPELINE instead: the model
+    fits on the labeled urls' text AS THE SCORER SEES IT (extract →
+    scrub → dedup → line-dedup → token filter), so there is zero
+    train/serve feature skew — including the line-dedup boilerplate
+    removal a pre-pipeline trainer cannot replay (it needs full-corpus
+    line counts).  Labeled urls the pipeline itself drops (dedup losers,
+    under ``min_tokens``) simply don't contribute examples — by
+    construction no such doc ever reaches scoring either.  Mutually
+    exclusive with ``classifier``; training cost is
+    ``quality_iters`` × (one dim-row gradient agg over the labeled
+    subset), driver traffic ``dim+1`` floats per step.
+
     ``chunk_max_tokens`` enables the chunk→pack composition ("chunk down,
     then pack up"): after the token/quality filters, each document is cut
     into ``chunk_max_tokens``-token windows advancing ``chunk_stride``
@@ -111,7 +128,10 @@ def run_training_prep(
     and the CHUNKS are what packing stitches into sequences.  The split
     stays keyed on the PARENT url, so every chunk of a document lands in
     one split — overlapping windows of the same text never straddle
-    train/val/test.
+    train/val/test.  **Chunking is lossy on whitespace**: chunk text is
+    the document's tokens re-joined with single spaces, so newlines and
+    runs of spaces (line/paragraph structure) collapse; case is
+    preserved.  Leave ``chunk_max_tokens=None`` to ship verbatim text.
 
     ``checkpoint_dir`` makes the pipeline resumable: the extract→scrub→
     dedup output and its conservation counters are committed there
@@ -241,6 +261,27 @@ def run_training_prep(
         "url", "lang", F.col("text_clean").alias("text"),
         token_count(F.col("text_clean")).alias("n_tokens"),
     ).filter(F.col("n_tokens") >= min_tokens)
+
+    if quality_labels is not None:
+        if classifier is not None:
+            raise ValueError(
+                "pass either a pre-trained classifier OR quality_labels "
+                "to train one in-pipeline, not both"
+            )
+        from ..operators.classify import train_logreg
+        from ..operators.text_analysis import hashed_tf_embedding
+
+        # train on the labeled urls' text exactly as the scoring stage
+        # below will see it: same frame, same transform chain, zero skew
+        seed = with_tokens.join(
+            quality_labels.select("url"), "url", "left_semi"
+        )
+        feats = hashed_tf_embedding(
+            seed, text_col="text", id_col="url", dim=quality_dim
+        ).join(quality_labels.select("url", "label"), "url")
+        classifier = train_logreg(
+            feats, dim=quality_dim, iterations=quality_iters, lr=quality_lr
+        )
 
     if classifier is not None:
         from ..operators.classify import score_logreg

@@ -1916,6 +1916,39 @@ def test_training_prep_classifier_stage(spark, tmp_path):
     assert drop_all.docs_final == 0
 
 
+def test_training_prep_in_pipeline_classifier(spark, tmp_path):
+    """quality_labels trains the classifier in-pipeline on the exact
+    scoring-time transform (extract→scrub→dedup→line-dedup→token filter):
+    with every surviving doc labeled 1 the learned model keeps everything
+    (scores > 0.5 after GD from zero init); passing both a pre-trained
+    classifier AND labels is refused."""
+    import pytest as _pytest
+
+    from readability_php_spark.plans.training_pipeline import run_training_prep
+
+    pages = documents_corpus_df(spark, SF).filter(F.col("doc_id") < 20).select(
+        "url", "html"
+    )
+    base = run_training_prep(
+        spark, pages, str(tmp_path / "base"), min_tokens=10,
+        pack_budget=500, fuzzy=False,
+    )
+    labels = pages.select("url", F.lit(1).alias("label"))
+    trained = run_training_prep(
+        spark, pages, str(tmp_path / "trained"), min_tokens=10,
+        pack_budget=500, fuzzy=False,
+        quality_labels=labels, quality_dim=16, quality_iters=3,
+    )
+    # all-positive labels -> model scores every doc above 0.5 -> no drops
+    assert trained.docs_final == base.docs_final
+    with _pytest.raises(ValueError, match="not both"):
+        run_training_prep(
+            spark, pages, str(tmp_path / "both"), min_tokens=10,
+            pack_budget=500, fuzzy=False,
+            classifier=([0.0] * 16, 10.0), quality_labels=labels,
+        )
+
+
 def test_pagerank_structural_properties(spark):
     from readability_php_spark.operators.graph import pagerank
 
@@ -2099,7 +2132,7 @@ def test_chunk_documents_windows(spark):
     from readability_php_spark.operators.packing import chunk_documents
 
     df = spark.createDataFrame(
-        [(1, "a b c d e f g"), (2, "x y"), (3, "   ")],
+        [(1, "a b c d e f g"), (2, "X  y\nZ"), (3, "   ")],
         "doc_id long, text string",
     )
     got = {
@@ -2112,7 +2145,9 @@ def test_chunk_documents_windows(spark):
     assert got[(1, 0)] == (4, "a b c d")
     assert got[(1, 1)] == (4, "d e f g")
     assert not any(k == (1, 2) for k in got)
-    assert got[(2, 0)] == (2, "x y")
+    # case preserved; whitespace runs (incl. newlines) collapse to one
+    # space — the documented lossy normalization of token-window chunking
+    assert got[(2, 0)] == (3, "X y Z")
     assert not any(k[0] == 3 for k in got)  # token-less doc: no chunks
     # chunk->pack composition: every chunk fits the budget by construction
     assert all(n <= 4 for n, _ in got.values())
