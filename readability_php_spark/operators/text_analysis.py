@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # per-language top stopwords for the langid heuristic; short, frequent,
 # reasonably exclusive. Order matters: ties break by list order.
@@ -307,13 +308,22 @@ def ngram_lm_score(
     4-decimal round is stable.
 
     Scale shape: bigrams are per-row column algebra (no shuffle to
-    build); then two map-side-combined count aggs (bigram + context) and
-    one distinct-count for V riding as a broadcast 1-row aggregate (no
-    separate count() action).  The score join is keyed on
-    ``xxhash64(w1,w2)`` / ``xxhash64(w1)`` — 8-byte keys, not vocabulary
-    strings; a 64-bit collision merges two bigrams' counts (odds
-    ~N²/2^65) and the DuckDB oracle joining on raw strings evidences the
-    absence."""
+    build); ONE map-side-combined count agg on ``(bk, ck)`` =
+    ``(xxhash64(w1,w2), xxhash64(w1))`` — 8-byte keys, not vocabulary
+    strings — yields the per-bigram counts, and the per-context counts
+    derive from THAT small distinct-bigram table (bk determines ck, so
+    ``sum(c12) group by ck`` is exact), not from a second pass over the
+    corpus.  The two count tables join each other first (small ⋈ small),
+    then the corpus joins once on ``(bk, ck)``.  Every corpus-side
+    shuffle is either a partial-agg groupBy or a sort-merge join — both
+    absorb Zipf-hot bigrams ("of the") via map-side combine / AQE
+    skew-split, which is why this is deliberately NOT a count-window
+    formulation: a window partitioned on bk would funnel a hot bigram's
+    every occurrence through one task with no partial aggregation and no
+    AQE split.  V rides as a broadcast 1-row aggregate (no separate
+    count() action).  A 64-bit key collision merges two bigrams' counts
+    (odds ~N²/2^65); the DuckDB oracle joining on raw strings evidences
+    the absence."""
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda x: x != F.lit(""),
@@ -339,8 +349,11 @@ def ngram_lm_score(
         F.xxhash64("w1", "w2").alias("bk"),
         F.xxhash64("w1").alias("ck"),
     )
-    bigram_counts = keyed.groupBy("bk").agg(F.count("*").alias("c12"))
-    context_counts = keyed.groupBy("ck").agg(F.count("*").alias("c1"))
+    pair_counts = keyed.groupBy("bk", "ck").agg(F.count("*").alias("c12"))
+    context_counts = pair_counts.groupBy("ck").agg(
+        F.sum("c12").alias("c1")
+    )
+    counts = pair_counts.join(context_counts, "ck")
     vocab = docs.select(F.explode("a").alias("tok")).agg(
         F.count_distinct("tok").cast("double").alias("_v")
     )
@@ -348,8 +361,7 @@ def ngram_lm_score(
         (F.col("c12") + F.lit(add_k)) / (F.col("c1") + F.lit(add_k) * F.col("_v"))
     )
     return (
-        keyed.join(bigram_counts, "bk")
-        .join(context_counts, "ck")
+        keyed.join(counts, ["bk", "ck"])
         .crossJoin(F.broadcast(vocab))
         .groupBy("id")
         .agg(
