@@ -58,18 +58,23 @@ def exact_dedup(
     # NULL text (e.g. failed extractions carried forward) fingerprints to
     # NULL, and groupBy treats NULLs as one group — which would silently
     # delete all-but-one of documents that were never actually compared.
-    # Null-text rows pass through as their own keepers instead.
+    # Null-text rows become their own single-row fingerprint groups via a
+    # synthetic per-row key (NUL-prefixed, so it can never collide with an
+    # md5 hex fingerprint) — each survives as its own keeper.  ONE pass,
+    # one semi-join: the earlier null-branch union scanned ``documents``
+    # three times, and inside fuzzy_dedup's multi-consumer plan that
+    # subtree replays per consumer (round-5 perf note: this restructure,
+    # not the shingle filter, was most of the training_prep_fuzzy 8→13 s
+    # regression).
+    fp = F.when(
+        F.col(text_col).isNotNull(), fingerprint(F.col(text_col))
+    ).otherwise(F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")))
     w = (
-        documents.select(id_col, fingerprint(F.col(text_col)).alias("fp"))
-        .filter(F.col("fp").isNotNull())
+        documents.select(id_col, fp.alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
     )
-    return documents.filter(F.col(text_col).isNull()).unionByName(
-        documents.filter(F.col(text_col).isNotNull()).join(
-            w.select(id_col), id_col, "left_semi"
-        )
-    )
+    return documents.join(w.select(id_col), id_col, "left_semi")
 
 
 # --- shingles / n-grams -------------------------------------------------------
