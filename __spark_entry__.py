@@ -192,42 +192,51 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("part_id"),
         )
     )
-    scratch = os.path.join(
-        tempfile.gettempdir(), f"snap_gate_{_fixture_tag(sf_dir)}"
-    )
-    shutil.rmtree(scratch, ignore_errors=True)
-    table = os.path.join(scratch, "table")
-    part_ids = [0, 1, 2, 3]
-    for lo, hi in ((0, 50), (50, 100)):
-        (
-            docs.filter(
-                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+    # unique scratch per call: a shared deterministic path would let two
+    # concurrent harness/bench processes rmtree each other's in-flight
+    # table; results are materialized EAGERLY (bounded: 250 rows) so the
+    # scratch can be deleted before returning — no leftover /tmp state
+    scratch = tempfile.mkdtemp(prefix="snap_gate_")
+    try:
+        table = os.path.join(scratch, "table")
+        part_ids = [0, 1, 2, 3]
+        for lo, hi in ((0, 50), (50, 100)):
+            (
+                docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .partitionBy("part_id")
+                .parquet(table)
             )
-            .coalesce(1)
-            .write.mode("append")
-            .partitionBy("part_id")
-            .parquet(table)
+            commit_snapshot(spark, table, part_ids)
+        compact_snapshots(spark, table, min_files=2)
+        cols = ["doc_id", "lang", "text_md5"]
+        asof1 = read_snapshot(spark, table, 1).select(*cols).withColumn(
+            "view", F.lit("asof1")
         )
-        commit_snapshot(spark, table, part_ids)
-    compact_snapshots(spark, table, min_files=2)
-    cols = ["doc_id", "lang", "text_md5"]
-    asof1 = read_snapshot(spark, table, 1).select(*cols).withColumn(
-        "view", F.lit("asof1")
-    )
-    latest = read_snapshot(spark, table).select(*cols).withColumn(
-        "view", F.lit("latest")
-    )
-    delta = (
-        diff_snapshots(spark, table, 1, 2)
-        .filter(F.col("change") == "added")
-        .select(*cols)
-        .withColumn("view", F.lit("delta12"))
-    )
-    return (
-        asof1.unionByName(latest)
-        .unionByName(delta)
-        .orderBy("view", "doc_id")
-    )
+        latest = read_snapshot(spark, table).select(*cols).withColumn(
+            "view", F.lit("latest")
+        )
+        # key_col: the scratch table has no url column; doc_id is its key
+        delta = (
+            diff_snapshots(spark, table, 1, 2, key_col="doc_id")
+            .filter(F.col("change") == "added")
+            .select(*cols)
+            .withColumn("view", F.lit("delta12"))
+        )
+        rows = (
+            asof1.unionByName(latest)
+            .unionByName(delta)
+            .orderBy("view", "doc_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, text_md5 string, view string"
+    ).orderBy("view", "doc_id")
 
 
 def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1555,7 +1564,7 @@ def _pagerank_sql(
 _LM_SCORE_SQL = """
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(trim(text), '\\s+'),
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                                  x -> x <> '') AS a
               FROM documents WHERE doc_id < 200),
             big AS (

@@ -66,7 +66,12 @@ def _tag_cache_put(raw_tag: str, entry: tuple) -> None:
         _TAG_CACHE.clear()
         _TAG_CACHE_BYTES = 0
     _TAG_CACHE[raw_tag] = entry
-    _TAG_CACHE_BYTES += len(raw_tag)
+    # len() counts code points; non-ASCII keys occupy up to 4 bytes each
+    # (both UTF-8 and PyUnicode storage), so charge the real byte size —
+    # ASCII (the overwhelmingly common case) skips the encode
+    _TAG_CACHE_BYTES += (
+        len(raw_tag) if raw_tag.isascii() else len(raw_tag.encode())
+    )
 
 # Open-element stack depth cap: beyond this, new elements are inserted as
 # leaves (immediately closed).  Bounds every stack scan on adversarial input.

@@ -99,7 +99,8 @@ def _string_weight(s: str) -> int:
             if REGEXPS["positive"].search(s):
                 w += 25
         _WEIGHT_CACHE[s] = w
-        _WEIGHT_BYTES += len(s)
+        # real byte size for non-ASCII keys (len() counts code points)
+        _WEIGHT_BYTES += len(s) if s.isascii() else len(s.encode())
     return w
 
 

@@ -93,7 +93,12 @@ def _byline_hit(match_string: str) -> bool:
             _BYLINE_BYTES = 0
         v = REGEXPS["byline"].search(match_string) is not None
         _BYLINE_CACHE[match_string] = v
-        _BYLINE_BYTES += len(match_string)
+        # real byte size for non-ASCII keys (len() counts code points)
+        _BYLINE_BYTES += (
+            len(match_string)
+            if match_string.isascii()
+            else len(match_string.encode())
+        )
     return v
 
 
@@ -115,7 +120,11 @@ def _f4_unlikely(match_string: str) -> bool:
             and REGEXPS["okMaybeItsACandidate"].search(match_string) is None
         )
         _F4_CACHE[match_string] = v
-        _F4_BYTES += len(match_string)
+        _F4_BYTES += (
+            len(match_string)
+            if match_string.isascii()
+            else len(match_string.encode())
+        )
     return v
 
 

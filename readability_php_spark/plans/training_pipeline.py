@@ -276,6 +276,32 @@ def run_training_prep(
         seed = with_tokens.join(
             quality_labels.select("url"), "url", "left_semi"
         )
+        # fail FAST and loudly if the pipeline's own filters ate the seed
+        # set (dedup losers, min_tokens): train_logreg's late "empty
+        # feature set" error would otherwise surface only after the full
+        # corpus extract→dedup ran; a partially-surviving seed trains on
+        # the survivors, which deserves a visible warning, not silence.
+        # Both counts are bounded scans of the persisted/parquet-backed
+        # dedup output + the tiny label set.
+        n_labels = quality_labels.count()
+        n_seed = seed.count()
+        if n_seed == 0:
+            raise ValueError(
+                f"quality_labels: none of the {n_labels} labeled urls "
+                "survive the pipeline's extraction/dedup/min_tokens "
+                "filters — the classifier has nothing to train on. Check "
+                "that label urls match the corpus urls exactly and that "
+                "the labeled docs clear min_tokens."
+            )
+        if n_seed < n_labels:
+            import warnings
+
+            warnings.warn(
+                f"quality_labels: only {n_seed}/{n_labels} labeled urls "
+                "survive the pipeline filters; the classifier trains on "
+                "the survivors",
+                stacklevel=2,
+            )
         feats = hashed_tf_embedding(
             seed, text_col="text", id_col="url", dim=quality_dim
         ).join(quality_labels.select("url", "label"), "url")

@@ -48,6 +48,17 @@ def test_tag_cache_still_correct_across_clear(monkeypatch):
     _reset_tag_cache()
 
 
+def test_tag_cache_counts_utf8_bytes(monkeypatch):
+    # non-ASCII keys are charged their UTF-8 size, not their code-point
+    # count — a 4-bytes-per-char key corpus must hit the cap 4x sooner
+    _reset_tag_cache()
+    monkeypatch.setattr(parser_mod, "_TAG_CACHE_BYTE_CAP", 10_000)
+    key = "div data-x=\"" + "\U0001F600" * 100 + "\""  # ~413 UTF-8 bytes
+    parser_mod._tag_cache_put(key, ("div", (), False, {}))
+    assert parser_mod._TAG_CACHE_BYTES >= 4 * 100
+    _reset_tag_cache()
+
+
 def test_weight_cache_byte_budget(monkeypatch):
     nodeutil._WEIGHT_CACHE.clear()
     nodeutil._WEIGHT_BYTES = 0

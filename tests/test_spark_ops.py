@@ -1974,6 +1974,16 @@ def test_training_prep_in_pipeline_classifier(spark, tmp_path):
             pack_budget=500, fuzzy=False,
             classifier=([0.0] * 16, 10.0), quality_labels=labels,
         )
+    # a seed set the pipeline's own filters fully consume must fail FAST
+    # with a clear message, not crash late inside train_logreg
+    ghost = spark.createDataFrame(
+        [("http://nowhere.test/none.html", 1)], "url string, label int"
+    )
+    with _pytest.raises(ValueError, match="none of the 1 labeled urls"):
+        run_training_prep(
+            spark, pages, str(tmp_path / "ghost"), min_tokens=10,
+            pack_budget=500, fuzzy=False, quality_labels=ghost,
+        )
 
 
 def test_pagerank_structural_properties(spark):
