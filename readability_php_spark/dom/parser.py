@@ -201,10 +201,13 @@ class TreeBuilder(HTMLParser):
             if hit is not None:
                 tag, cattrs, startend, cdict = hit
                 self.lasttag = tag
+                # the cached attrs tuple is passed as-is (no list() copy):
+                # our handlers only ever iterate attrs (_merge_attrs) —
+                # nothing mutates the sequence
                 if startend:
-                    self.handle_startendtag(tag, list(cattrs), attrs_dict=cdict)
+                    self.handle_startendtag(tag, cattrs, attrs_dict=cdict)
                 else:
-                    self.handle_starttag(tag, list(cattrs), attrs_dict=cdict)
+                    self.handle_starttag(tag, cattrs, attrs_dict=cdict)
                     if tag in self.CDATA_CONTENT_ELEMENTS:
                         self.set_cdata_mode(tag)
                 return gt + 1
