@@ -707,3 +707,114 @@ def duplicated_spans(
             ).alias("dup_fraction"),
         )
     )
+
+
+def incremental_fuzzy_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    corpus_bands: "DataFrame | None" = None,
+) -> "tuple[DataFrame, DataFrame]":
+    """Dedup a NEW ingestion wave against an already-ingested corpus
+    without re-LSHing the corpus — the per-wave shape of fuzzy dedup an
+    append-only pipeline actually runs (a snapshot-committed table grows
+    wave by wave; recomputing corpus signatures per wave is O(corpus)
+    every time, this is O(wave + matches)).
+
+    Returns ``(kept_new, kept_new_bands)``:
+
+    - ``kept_new`` — rows of ``new_docs`` that survive (a) intra-wave
+      fuzzy dedup (keep-min-id within the wave, exactly
+      :func:`fuzzy_dedup`) and (b) near-dup verification against the
+      corpus.  EXISTING docs always win: they are already ingested and
+      immutable, so a new near-dup of an old doc is dropped rather than
+      re-keying the corpus (append-only storage keeps its rows).
+    - ``kept_new_bands`` — ``(id, band, band_hash)`` rows of the
+      survivors, for the caller to APPEND to its signature table so the
+      next wave joins against signatures, never against corpus text.
+
+    ``corpus_bands`` is that maintained signature table (``id_col``,
+    ``band``, ``band_hash``); ``None`` computes it from ``corpus_docs``
+    (bootstrap path — pay the full-corpus signature pass exactly once).
+
+    ``corpus_docs`` is still required: Jaccard VERIFICATION needs the
+    matched candidates' text.  It is semi-joined down to the candidate
+    ids before shingling (``ngram_jaccard_pairs`` prunes internally), so
+    the corpus is scanned but never re-shingled wholesale, and the
+    candidate-id side is broadcast-small.  Ids must be unique across
+    corpus ∪ wave (the pipeline keys on url; run url/exact dedup first).
+
+    Scale shape: wave signatures once per doc; ONE (band, band_hash)
+    join against the signature table (8-byte-ish keys, sort-merge +
+    AQE skew-split); verification cost ∝ candidate matches, not corpus.
+    """
+    base_new = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    # (a) intra-wave dedup (keep-min-id inside the wave)
+    wave = fuzzy_dedup(
+        new_docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+    )
+    # docs with no shingles share the sentinel signature and can never
+    # verify — exclude them from cross-corpus matching (same guard as
+    # fuzzy_dedup); they remain in ``wave`` and are kept
+    lsh_ready = F.size(
+        F.split(F.trim(F.col("text")), r"\s+")
+    ) >= F.lit(shingle_n)
+    nb = minhash_bands(
+        wave.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ).filter(lsh_ready),
+        "text",
+        num_hashes,
+        bands,
+        shingle_n,
+    ).select(F.col("doc_id").alias("_nid"), "band", "band_hash")
+    if corpus_bands is None:
+        corpus_bands = minhash_bands(
+            corpus_docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ).filter(lsh_ready),
+            "text",
+            num_hashes,
+            bands,
+            shingle_n,
+        ).select(F.col("doc_id").alias(id_col), "band", "band_hash")
+    cb = corpus_bands.select(
+        F.col(id_col).alias("_cid"), "band", "band_hash"
+    )
+    # (b) band collision against the signature table → candidate pairs
+    cand = (
+        nb.join(cb, ["band", "band_hash"])
+        .select(F.col("_nid").alias("doc_a"), F.col("_cid").alias("doc_b"))
+        .distinct()
+    )
+    # verification text: wave ∪ corpus — ngram_jaccard_pairs semi-joins
+    # both sides down to the candidate ids before shingling
+    verify_base = base_new.unionByName(
+        corpus_docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+    )
+    dead = (
+        ngram_jaccard_pairs(verify_base, cand, "text", shingle_n)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("doc_a").alias(id_col))
+        .distinct()
+    )
+    kept = wave.join(dead, id_col, "left_anti")
+    kept_bands = nb.select(
+        F.col("_nid").alias(id_col), "band", "band_hash"
+    ).join(kept.select(id_col), id_col, "left_semi")
+    return kept, kept_bands

@@ -2347,3 +2347,57 @@ def test_decode_wav_roundtrip_and_errors():
            + b"fmt " + struct.pack("<I", len(fmt)) + fmt)
     with _pytest.raises(ValueError):
         decode_wav(bad)
+
+
+def test_incremental_fuzzy_dedup(spark):
+    """Per-wave dedup against an ingested corpus: corpus near-dups and
+    intra-wave losers die, fresh and short docs survive, and the returned
+    band rows cover exactly the survivors (the signature-table append)."""
+    from readability_php_spark.operators.dedup import (
+        incremental_fuzzy_dedup,
+        minhash_bands,
+    )
+
+    words = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"alt{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1, words), (2, other)], "doc_id long, text string"
+    )
+    wave = spark.createDataFrame(
+        [
+            (10, words + " extra"),        # near-dup of corpus doc 1 -> dies
+            (11, " ".join(f"new{i}" for i in range(30))),  # fresh -> kept
+            (12, " ".join(f"pair{i}" for i in range(30))),           # intra-wave keeper
+            (13, " ".join(f"pair{i}" for i in range(30)) + " tail"),  # intra-wave loser
+            (14, "tiny doc"),              # < shingle_n words -> kept, no bands
+        ],
+        "doc_id long, text string",
+    )
+    kept, kept_bands = incremental_fuzzy_dedup(
+        wave, corpus, num_hashes=8, bands=4, threshold=0.8
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [11, 12, 14]
+    band_ids = {r.doc_id for r in kept_bands.select("doc_id").distinct().collect()}
+    assert band_ids == {11, 12}  # survivors with shingles only
+    # precomputed signature-table path is equivalent to the bootstrap path
+    cb = minhash_bands(corpus, "text", 8, 4, 3)
+    kept2, _ = incremental_fuzzy_dedup(
+        wave, corpus, num_hashes=8, bands=4, threshold=0.8,
+        corpus_bands=cb.select("doc_id", "band", "band_hash"),
+    )
+    assert sorted(r.doc_id for r in kept2.collect()) == [11, 12, 14]
+    # existing docs always win: the corpus itself is untouched by design
+    # (append-only storage), so nothing to assert on corpus rows — but a
+    # second wave joining against the UPDATED signature table must now
+    # treat wave-1 survivors as corpus: a near-dup of doc 11 dies
+    wave2 = spark.createDataFrame(
+        [(20, " ".join(f"new{i}" for i in range(30)) + " more")],
+        "doc_id long, text string",
+    )
+    all_bands = cb.select("doc_id", "band", "band_hash").unionByName(kept_bands)
+    all_docs = corpus.unionByName(kept.select("doc_id", "text"))
+    kept3, _ = incremental_fuzzy_dedup(
+        wave2, all_docs, num_hashes=8, bands=4, threshold=0.8,
+        corpus_bands=all_bands,
+    )
+    assert kept3.count() == 0
