@@ -338,7 +338,15 @@ def minhash_lsh_candidates(
     pair output is quadratic in bucket size by construction; run exact
     dedup first."""
     bb = minhash_bands(documents, text_col, num_hashes, bands, shingle_n)
-    buckets = bb.groupBy("band", "band_hash").agg(
+    return _pairs_from_bands(bb)
+
+
+def _pairs_from_bands(band_rows: DataFrame) -> DataFrame:
+    """Bucket-local candidate pairs (doc_a < doc_b) from precomputed
+    (doc_id, band, band_hash) rows — the pair-expansion half of
+    :func:`minhash_lsh_candidates`, shared with the incremental path so
+    wave signatures are computed exactly once."""
+    buckets = band_rows.groupBy("band", "band_hash").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ids")
     )
     return (
@@ -726,62 +734,60 @@ def incremental_fuzzy_dedup(
     wave by wave; recomputing corpus signatures per wave is O(corpus)
     every time, this is O(wave + matches)).
 
-    Returns ``(kept_new, kept_new_bands)``:
+    Returns ``(kept_new, append_bands)``:
 
-    - ``kept_new`` — rows of ``new_docs`` that survive (a) intra-wave
-      fuzzy dedup (keep-min-id within the wave, exactly
-      :func:`fuzzy_dedup`) and (b) near-dup verification against the
-      corpus.  EXISTING docs always win: they are already ingested and
-      immutable, so a new near-dup of an old doc is dropped rather than
-      re-keying the corpus (append-only storage keeps its rows).
-    - ``kept_new_bands`` — ``(id, band, band_hash)`` rows of the
-      survivors, for the caller to APPEND to its signature table so the
-      next wave joins against signatures, never against corpus text.
+    - ``kept_new`` — rows of ``new_docs`` that survive.  Near-dup
+      clusters are formed over intra-wave AND wave↔corpus verified pairs
+      jointly (one connected-components pass), so a wave doc linked to
+      the corpus only THROUGH a discarded wave sibling still dies — the
+      same transitive closure batch :func:`fuzzy_dedup` over
+      corpus ∪ wave would find.  Cluster rule: a cluster containing ANY
+      corpus doc keeps no wave docs (EXISTING docs always win — they are
+      already ingested and immutable, even when a wave id sorts lower);
+      a wave-only cluster keeps its min id.  This corpus-wins rule is
+      the one deliberate divergence from batch keep-min-id.
+    - ``append_bands`` — ``(id, band, band_hash)`` signature rows for the
+      caller to APPEND to its maintained signature table.  With a warm
+      ``corpus_bands`` these are the kept wave docs' bands (the delta);
+      on the bootstrap path (``corpus_bands=None``) they additionally
+      include the corpus bands computed here, so the full-corpus
+      signature pass runs exactly once and the caller's table is
+      complete either way.
 
     ``corpus_bands`` is that maintained signature table (``id_col``,
-    ``band``, ``band_hash``); ``None`` computes it from ``corpus_docs``
-    (bootstrap path — pay the full-corpus signature pass exactly once).
+    ``band``, ``band_hash``).  **Invariant: it must have been built with
+    the SAME num_hashes/bands/shingle_n as this call** — band hashes are
+    md5 over signature slices, so mismatched parameters join to nothing
+    and every corpus near-dup silently ingests.  Persist the parameters
+    with the table.
 
     ``corpus_docs`` is still required: Jaccard VERIFICATION needs the
     matched candidates' text.  It is semi-joined down to the candidate
     ids before shingling (``ngram_jaccard_pairs`` prunes internally), so
-    the corpus is scanned but never re-shingled wholesale, and the
-    candidate-id side is broadcast-small.  Ids must be unique across
-    corpus ∪ wave (the pipeline keys on url; run url/exact dedup first).
+    the corpus is scanned but never re-shingled wholesale.  Ids must be
+    unique across corpus ∪ wave (the pipeline keys on url; run url/exact
+    dedup first), and the corpus itself is assumed already deduped.
 
-    Scale shape: wave signatures once per doc; ONE (band, band_hash)
-    join against the signature table (8-byte-ish keys, sort-merge +
-    AQE skew-split); verification cost ∝ candidate matches, not corpus.
+    Scale shape: wave signatures computed ONCE per doc (shared between
+    intra-wave bucketing and the corpus join via the same band rows);
+    ONE (band, band_hash) join against the signature table (sort-merge +
+    AQE skew-split); verification and clustering cost ∝ verified
+    matches, not corpus size.
     """
-    base_new = new_docs.select(
+    wave_base = new_docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    # (a) intra-wave dedup (keep-min-id inside the wave)
-    wave = fuzzy_dedup(
-        new_docs,
-        text_col=text_col,
-        id_col=id_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        shingle_n=shingle_n,
-        threshold=threshold,
-    )
-    # docs with no shingles share the sentinel signature and can never
-    # verify — exclude them from cross-corpus matching (same guard as
-    # fuzzy_dedup); they remain in ``wave`` and are kept
+    # docs with no shingles share the sentinel minhash signature and can
+    # never verify — exclude them from candidate generation entirely
+    # (same guard as fuzzy_dedup); they survive via the final anti-join
     lsh_ready = F.size(
         F.split(F.trim(F.col("text")), r"\s+")
     ) >= F.lit(shingle_n)
     nb = minhash_bands(
-        wave.select(
-            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-        ).filter(lsh_ready),
-        "text",
-        num_hashes,
-        bands,
-        shingle_n,
-    ).select(F.col("doc_id").alias("_nid"), "band", "band_hash")
-    if corpus_bands is None:
+        wave_base.filter(lsh_ready), "text", num_hashes, bands, shingle_n
+    )
+    bootstrap = corpus_bands is None
+    if bootstrap:
         corpus_bands = minhash_bands(
             corpus_docs.select(
                 F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
@@ -794,27 +800,49 @@ def incremental_fuzzy_dedup(
     cb = corpus_bands.select(
         F.col(id_col).alias("_cid"), "band", "band_hash"
     )
-    # (b) band collision against the signature table → candidate pairs
-    cand = (
-        nb.join(cb, ["band", "band_hash"])
+    intra = _pairs_from_bands(nb)
+    cross = (
+        nb.select(F.col("doc_id").alias("_nid"), "band", "band_hash")
+        .join(cb, ["band", "band_hash"])
         .select(F.col("_nid").alias("doc_a"), F.col("_cid").alias("doc_b"))
         .distinct()
     )
+    cand = intra.unionByName(cross)
     # verification text: wave ∪ corpus — ngram_jaccard_pairs semi-joins
     # both sides down to the candidate ids before shingling
-    verify_base = base_new.unionByName(
-        corpus_docs.select(
-            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-        )
+    corpus_base = corpus_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    dead = (
-        ngram_jaccard_pairs(verify_base, cand, "text", shingle_n)
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("doc_a").alias(id_col))
+    verified = ngram_jaccard_pairs(
+        wave_base.unionByName(corpus_base), cand, "text", shingle_n
+    ).filter(F.col("jaccard") >= threshold)
+    clusters = connected_components(verified.select("doc_a", "doc_b"))
+    wave_clustered = clusters.join(
+        wave_base.select("doc_id"), "doc_id", "left_semi"
+    )
+    has_corpus = (
+        clusters.join(corpus_base.select("doc_id"), "doc_id", "left_semi")
+        .select("cluster_id")
         .distinct()
     )
-    kept = wave.join(dead, id_col, "left_anti")
+    # corpus-linked cluster: every wave member dies; wave-only cluster:
+    # cluster_id IS the min wave id (no corpus member to undercut it)
+    dead_cross = wave_clustered.join(
+        has_corpus, "cluster_id", "left_semi"
+    ).select("doc_id")
+    dead_intra = (
+        wave_clustered.join(has_corpus, "cluster_id", "left_anti")
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    dead = dead_cross.unionByName(dead_intra).select(
+        F.col("doc_id").alias(id_col)
+    )
+    kept = new_docs.join(dead, id_col, "left_anti")
     kept_bands = nb.select(
-        F.col("_nid").alias(id_col), "band", "band_hash"
+        F.col("doc_id").alias(id_col), "band", "band_hash"
     ).join(kept.select(id_col), id_col, "left_semi")
-    return kept, kept_bands
+    append_bands = (
+        corpus_bands.unionByName(kept_bands) if bootstrap else kept_bands
+    )
+    return kept, append_bands

@@ -271,6 +271,13 @@ def run_training_prep(
         from ..operators.classify import train_logreg
         from ..operators.text_analysis import hashed_tf_embedding
 
+        # duplicate label rows (a label file concatenated from two
+        # sources) would double-weight their url's feature row in the
+        # gradient AND make the survival warning below fire spuriously —
+        # first label wins per url
+        quality_labels = quality_labels.select("url", "label").dropDuplicates(
+            ["url"]
+        )
         # train on the labeled urls' text exactly as the scoring stage
         # below will see it: same frame, same transform chain, zero skew
         seed = with_tokens.join(

@@ -2351,8 +2351,10 @@ def test_decode_wav_roundtrip_and_errors():
 
 def test_incremental_fuzzy_dedup(spark):
     """Per-wave dedup against an ingested corpus: corpus near-dups and
-    intra-wave losers die, fresh and short docs survive, and the returned
-    band rows cover exactly the survivors (the signature-table append)."""
+    intra-wave losers die — including transitively (a wave doc linked to
+    the corpus only through its discarded wave sibling) — fresh and short
+    docs survive, the bootstrap path returns the complete signature
+    table, and the warm path returns just the survivors' delta."""
     from readability_php_spark.operators.dedup import (
         incremental_fuzzy_dedup,
         minhash_bands,
@@ -2370,34 +2372,45 @@ def test_incremental_fuzzy_dedup(spark):
             (12, " ".join(f"pair{i}" for i in range(30))),           # intra-wave keeper
             (13, " ".join(f"pair{i}" for i in range(30)) + " tail"),  # intra-wave loser
             (14, "tiny doc"),              # < shingle_n words -> kept, no bands
+            # transitive chain: 15 ~ corpus doc 2 AND 15 ~ 16; both wave
+            # docs are in doc 2's cluster -> both die (batch fuzzy_dedup
+            # over corpus+wave would drop them the same way)
+            (15, other + " x"),
+            (16, other + " x y"),
         ],
         "doc_id long, text string",
     )
-    kept, kept_bands = incremental_fuzzy_dedup(
+    kept, boot_bands = incremental_fuzzy_dedup(
         wave, corpus, num_hashes=8, bands=4, threshold=0.8
     )
     assert sorted(r.doc_id for r in kept.collect()) == [11, 12, 14]
-    band_ids = {r.doc_id for r in kept_bands.select("doc_id").distinct().collect()}
-    assert band_ids == {11, 12}  # survivors with shingles only
-    # precomputed signature-table path is equivalent to the bootstrap path
-    cb = minhash_bands(corpus, "text", 8, 4, 3)
-    kept2, _ = incremental_fuzzy_dedup(
-        wave, corpus, num_hashes=8, bands=4, threshold=0.8,
-        corpus_bands=cb.select("doc_id", "band", "band_hash"),
+    boot_ids = {r.doc_id for r in boot_bands.select("doc_id").distinct().collect()}
+    # bootstrap: the returned table covers the corpus AND the survivors
+    # with shingles — the caller never re-runs the corpus signature pass
+    assert boot_ids == {1, 2, 11, 12}
+    # warm path: precomputed signature table, delta-only return
+    cb = minhash_bands(corpus, "text", 8, 4, 3).select(
+        "doc_id", "band", "band_hash"
+    )
+    kept2, delta_bands = incremental_fuzzy_dedup(
+        wave, corpus, num_hashes=8, bands=4, threshold=0.8, corpus_bands=cb
     )
     assert sorted(r.doc_id for r in kept2.collect()) == [11, 12, 14]
-    # existing docs always win: the corpus itself is untouched by design
-    # (append-only storage), so nothing to assert on corpus rows — but a
-    # second wave joining against the UPDATED signature table must now
-    # treat wave-1 survivors as corpus: a near-dup of doc 11 dies
+    assert {
+        r.doc_id for r in delta_bands.select("doc_id").distinct().collect()
+    } == {11, 12}
+    # a second wave joining the UPDATED table treats wave-1 survivors as
+    # corpus: a near-dup of doc 11 dies
     wave2 = spark.createDataFrame(
         [(20, " ".join(f"new{i}" for i in range(30)) + " more")],
         "doc_id long, text string",
     )
-    all_bands = cb.select("doc_id", "band", "band_hash").unionByName(kept_bands)
-    all_docs = corpus.unionByName(kept.select("doc_id", "text"))
     kept3, _ = incremental_fuzzy_dedup(
-        wave2, all_docs, num_hashes=8, bands=4, threshold=0.8,
-        corpus_bands=all_bands,
+        wave2,
+        corpus.unionByName(kept.select("doc_id", "text")),
+        num_hashes=8,
+        bands=4,
+        threshold=0.8,
+        corpus_bands=cb.unionByName(delta_bands),
     )
     assert kept3.count() == 0
