@@ -2414,3 +2414,43 @@ def test_incremental_fuzzy_dedup(spark):
         corpus_bands=cb.unionByName(delta_bands),
     )
     assert kept3.count() == 0
+
+
+def test_prep_job_cli_end_to_end(spark, tmp_path):
+    """The spark-submit deployment surface: jobs/prep_job.py driven as a
+    real subprocess (own JVM) over a tiny corpus, with a quality-label
+    seed parquet — the in-pipeline classifier path added in round 5.
+    Asserts the job exits 0, reports its conservation counters, and the
+    split-partitioned output parquet reads back."""
+    import subprocess
+    import sys as _sys
+
+    pages = documents_corpus_df(spark, SF).filter(F.col("doc_id") < 12).select(
+        "url", "html"
+    )
+    in_dir = str(tmp_path / "pages")
+    pages.write.parquet(in_dir)
+    labels_dir = str(tmp_path / "labels")
+    pages.select("url", F.lit(1).alias("label")).limit(8).write.parquet(
+        labels_dir
+    )
+    out_dir = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            _sys.executable, os.path.join(repo, "jobs", "prep_job.py"),
+            "--input", in_dir, "--output", out_dir,
+            "--min-tokens", "5", "--pack-budget", "400", "--no-fuzzy",
+            "--quality-labels", labels_dir, "--quality-dim", "16",
+            "--quality-iters", "2", "--master", "local[4]",
+        ],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "quality classifier will train on 8 labeled docs" in proc.stdout
+    assert "done: in=12" in proc.stdout
+    out = spark.read.parquet(out_dir)
+    assert out.count() > 0
+    assert {r.split for r in out.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }
