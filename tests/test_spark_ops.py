@@ -2454,3 +2454,80 @@ def test_prep_job_cli_end_to_end(spark, tmp_path):
     assert {r.split for r in out.select("split").distinct().collect()} <= {
         "train", "val", "test"
     }
+
+
+def test_incremental_fuzzy_dedup_differential(spark):
+    """Differential check against a pure-Python reference: exact 3-gram
+    Jaccard over ALL pairs + union-find + the corpus-wins cluster rule.
+    Inputs are seeded-random family mutations built to keep every pair's
+    Jaccard far from both the 0.8 threshold and LSH's detection edge
+    (same family => J >= 0.9, different families => J ~ 0), so the
+    probabilistic candidate stage is deterministic in practice and the
+    operator must agree with the reference exactly."""
+    import random
+
+    from readability_php_spark.operators.dedup import incremental_fuzzy_dedup
+
+    def shingles(text, n=3):
+        w = text.lower().split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    def jac(a, b):
+        u = a | b
+        return len(a & b) / len(u) if u else 0.0
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        # 5 families of 40-token docs; members differ by 1-2 appended toks
+        fams = [
+            [f"f{f}w{i}" for i in range(40)] for f in range(5)
+        ]
+        docs = {}
+        next_id = 0
+        for f, base in enumerate(fams):
+            for m in range(rng.randint(1, 3)):
+                toks = base + [f"x{f}m{m}{j}" for j in range(rng.randint(0, 2))]
+                docs[next_id] = " ".join(toks)
+                next_id += 1
+        ids = sorted(docs)
+        corpus_ids = set(rng.sample(ids, k=len(ids) // 2))
+        wave_ids = [i for i in ids if i not in corpus_ids]
+        # reference: union-find over ALL pairs with J >= 0.8
+        sh = {i: shingles(t) for i, t in docs.items()}
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a in ids:
+            for b in ids:
+                if a < b and jac(sh[a], sh[b]) >= 0.8:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        clusters = {}
+        for i in ids:
+            clusters.setdefault(find(i), []).append(i)
+        expected_kept = set()
+        for members in clusters.values():
+            wave_members = [i for i in members if i not in corpus_ids]
+            if not wave_members:
+                continue
+            if any(i in corpus_ids for i in members):
+                continue  # corpus wins: every wave member dies
+            expected_kept.add(min(wave_members))
+        corpus_df = spark.createDataFrame(
+            [(i, docs[i]) for i in sorted(corpus_ids)],
+            "doc_id long, text string",
+        )
+        wave_df = spark.createDataFrame(
+            [(i, docs[i]) for i in wave_ids], "doc_id long, text string"
+        )
+        kept, _ = incremental_fuzzy_dedup(
+            wave_df, corpus_df, num_hashes=16, bands=8, threshold=0.8
+        )
+        got = {r.doc_id for r in kept.collect()}
+        assert got == expected_kept, (seed, got, expected_kept)
