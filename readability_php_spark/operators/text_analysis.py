@@ -308,22 +308,27 @@ def ngram_lm_score(
     4-decimal round is stable.
 
     Scale shape: bigrams are per-row column algebra (no shuffle to
-    build); ONE map-side-combined count agg on ``(bk, ck)`` =
+    build); one map-side-combined count agg on ``(bk, ck)`` =
     ``(xxhash64(w1,w2), xxhash64(w1))`` — 8-byte keys, not vocabulary
     strings — yields the per-bigram counts, and the per-context counts
-    derive from THAT small distinct-bigram table (bk determines ck, so
-    ``sum(c12) group by ck`` is exact), not from a second pass over the
-    corpus.  The two count tables join each other first (small ⋈ small),
-    then the corpus joins once on ``(bk, ck)``.  Every corpus-side
-    shuffle is either a partial-agg groupBy or a sort-merge join — both
-    absorb Zipf-hot bigrams ("of the") via map-side combine / AQE
-    skew-split, which is why this is deliberately NOT a count-window
-    formulation: a window partitioned on bk would funnel a hot bigram's
-    every occurrence through one task with no partial aggregation and no
-    AQE split.  V rides as a broadcast 1-row aggregate (no separate
-    count() action).  A 64-bit key collision merges two bigrams' counts
-    (odds ~N²/2^65); the DuckDB oracle joining on raw strings evidences
-    the absence."""
+    aggregate over that DISTINCT-BIGRAM relation (bk determines ck, so
+    ``sum(c12) group by ck`` is exact): the ck shuffle carries one row
+    per distinct bigram instead of one per occurrence, which is the
+    scale win (a Zipf-hot context like "of" no longer ships its every
+    occurrence into the ck agg).  Physically the agg subtree replays for
+    the context branch — the lambda-heavy scan defeats exchange-reuse
+    canonicalization — but the replay is the map-side-combined agg, not
+    extra shuffle volume.  The two count tables join each other first
+    (small ⋈ small), then the corpus joins once on ``(bk, ck)``.  Every
+    corpus-side shuffle is either a partial-agg groupBy or a sort-merge
+    join — both absorb Zipf-hot bigrams ("of the") via map-side combine
+    / AQE skew-split, which is why this is deliberately NOT a
+    count-window formulation: a window partitioned on bk would funnel a
+    hot bigram's every occurrence through one task with no partial
+    aggregation and no AQE split.  V rides as a broadcast 1-row
+    aggregate (no separate count() action).  A 64-bit key collision
+    merges two bigrams' counts (odds ~N²/2^65); the DuckDB oracle
+    joining on raw strings evidences the absence."""
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda x: x != F.lit(""),
