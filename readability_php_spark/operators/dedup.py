@@ -768,8 +768,12 @@ def incremental_fuzzy_dedup(
     unique across corpus ∪ wave (the pipeline keys on url; run url/exact
     dedup first), and the corpus itself is assumed already deduped.
 
-    Scale shape: wave signatures computed ONCE per doc (shared between
-    intra-wave bucketing and the corpus join via the same band rows);
+    Scale shape (plan-audited): the wave's minhash signatures feed both
+    intra-wave bucketing and the corpus join from ONE band relation;
+    physically they materialize once inside the clustering pass (whose
+    localCheckpoint truncates lineage — ``kept_new``'s plan contains no
+    signature expression at all) and once more when the caller writes
+    ``append_bands`` — at most twice, each O(wave), never O(corpus).
     ONE (band, band_hash) join against the signature table (sort-merge +
     AQE skew-split); verification and clustering cost ∝ verified
     matches, not corpus size.
