@@ -2531,3 +2531,45 @@ def test_incremental_fuzzy_dedup_differential(spark):
         )
         got = {r.doc_id for r in kept.collect()}
         assert got == expected_kept, (seed, got, expected_kept)
+
+
+def test_gopher_quality_rules(spark):
+    """The published Gopher rule set, rule by rule on constructed docs:
+    each failure doc trips exactly its target rule; a clean doc passes all."""
+    from readability_php_spark.operators.text_analysis import gopher_quality_rules
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs to be free "
+        "of that fence with great energy and joy every single day outside "
+        "where children have played games under tall trees near the river "
+        "bank while birds sang sweet songs in the warm morning light there "
+        "and beyond the hills"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, good),                                        # passes all
+            (1, "too few words to be kept"),                  # word count
+            (2, " ".join(["a"] * 60) + " the be to of and"),  # mean word len < 3
+            (3, good + " " + "#tag " * 20),                   # symbol ratio
+            (4, "\n".join("- bullet item the be to of" for _ in range(10))
+                + "\n" + good),                               # bullet lines (11 lines, 10 bulleted)
+            (5, "\n".join(f"line {i} trails off..." for i in range(10))
+                + "\n" + good),                               # ellipsis lines
+            (6, good + " " + "123 456 " * 30),                # alpha-word frac
+            (7, " ".join(f"word{i}" for i in range(60))),     # no required stopwords
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_quality_rules(docs).collect()}
+    assert got[0].keep
+    assert not got[1].pass_word_count and not got[1].keep
+    assert not got[2].pass_mean_word_len and not got[2].keep
+    assert not got[3].pass_symbol_ratio and not got[3].keep
+    assert not got[4].pass_bullet_lines and not got[4].keep
+    assert not got[5].pass_ellipsis_lines and not got[5].keep
+    assert not got[6].pass_alpha_words and not got[6].keep
+    assert not got[7].pass_stopwords and not got[7].keep
+    # null text behaves as empty: fails word count, never crashes
+    nul = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    r9 = gopher_quality_rules(nul).collect()[0]
+    assert r9.n_words == 0 and not r9.keep
