@@ -353,6 +353,74 @@ def gopher_quality_rules(
     )
 
 
+def c4_quality_rules(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+    badwords: "list[str] | None" = None,
+) -> DataFrame:
+    """The C4 cleanup rules (Raffel et al. 2020, §2.2) as one
+    column-algebra pass — the canonical LINE-level complement to the
+    doc-level :func:`gopher_quality_rules`:
+
+    line-level (the text is REWRITTEN to the surviving lines):
+    - keep only lines ending in terminal punctuation (``. ! ? "``);
+    - keep only lines with at least ``min_line_words`` words;
+    - drop any line containing the word "javascript" (case-insensitive);
+
+    doc-level (``keep`` flag):
+    - at least ``min_kept_lines`` lines survive;
+    - the document contains no "lorem ipsum" and no curly bracket;
+    - no word from ``badwords`` (caller-supplied blocklist; C4 used the
+      LDNOOBW list, which ships no license fit for embedding here).
+
+    Emits ``(id, text_clean, n_lines_in, n_lines_kept, keep)`` — callers
+    filter on ``keep`` and train on ``text_clean``.
+
+    Scale shape: one narrow projection over the scan — split + lambda
+    filters + array_join per row; no shuffle, no UDF."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda ln: F.trim(ln) != F.lit(""))
+    kept_lines = F.filter(
+        lines,
+        lambda ln: F.rtrim(ln).rlike(r'[.!?"]$')
+        & (
+            F.size(
+                F.filter(
+                    F.split(F.trim(ln), r"\s+"), lambda w: w != F.lit("")
+                )
+            )
+            >= F.lit(min_line_words)
+        )
+        & ~F.lower(ln).rlike("javascript"),
+    )
+    text_clean = F.array_join(kept_lines, "\n")
+    lower_doc = F.lower(t)
+    doc_ok = (
+        (F.size(kept_lines) >= F.lit(min_kept_lines))
+        & ~lower_doc.contains("lorem ipsum")
+        & ~t.contains("{")
+    )
+    if badwords:
+        toks = F.split(F.lower(F.trim(t)), r"\s+")
+        n_bad = F.size(
+            F.filter(
+                F.array(*[F.lit(w.lower()) for w in badwords]),
+                lambda w: F.array_contains(toks, w),
+            )
+        )
+        doc_ok = doc_ok & (n_bad == 0)
+    return documents.select(
+        id_col,
+        text_clean.alias("text_clean"),
+        F.size(lines).alias("n_lines_in"),
+        F.size(kept_lines).alias("n_lines_kept"),
+        doc_ok.alias("keep"),
+    )
+
+
 def tfidf_keywords(
     documents: DataFrame,
     text_col: str = "text",

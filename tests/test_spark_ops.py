@@ -2573,3 +2573,46 @@ def test_gopher_quality_rules(spark):
     nul = spark.createDataFrame([(9, None)], "doc_id long, text string")
     r9 = gopher_quality_rules(nul).collect()[0]
     assert r9.n_words == 0 and not r9.keep
+
+
+def test_c4_quality_rules(spark):
+    """C4 line + doc rules on constructed docs: line rewrite keeps only
+    terminal-punctuation, >=5-word, javascript-free lines; doc flags trip
+    on lorem ipsum, curly braces, too-few surviving lines, and badwords."""
+    from readability_php_spark.operators.text_analysis import c4_quality_rules
+
+    good_line = "This sentence has more than five words in it."
+    docs = spark.createDataFrame(
+        [
+            (0, "\n".join([good_line] * 3)),                     # keep
+            (1, good_line + "\nno terminal punctuation here\n"
+                + "Too short."                                   # <5 words
+                + "\nEnable JavaScript to view this page."       # javascript
+                + "\n" + good_line + "\n" + good_line),
+            (2, "\n".join([good_line] * 2)),                     # <3 kept lines
+            (3, "\n".join([good_line] * 3) + "\nLorem Ipsum dolor."),
+            (4, "\n".join([good_line] * 3) + "\nvar x = { a: 1 }."),
+            (5, None),                                           # null text
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in c4_quality_rules(docs).collect()}
+    assert got[0].keep and got[0].n_lines_kept == 3
+    assert got[0].text_clean == "\n".join([good_line] * 3)
+    # doc 1: the three bad lines are dropped, the three good ones kept
+    assert got[1].n_lines_in == 6 and got[1].n_lines_kept == 3
+    assert got[1].keep
+    assert "JavaScript" not in got[1].text_clean
+    assert not got[2].keep and got[2].n_lines_kept == 2
+    assert not got[3].keep  # lorem ipsum
+    assert not got[4].keep  # curly bracket
+    assert not got[5].keep and got[5].n_lines_in == 0
+    # badwords blocklist: a doc containing a listed word is dropped
+    bad = c4_quality_rules(
+        spark.createDataFrame(
+            [(7, "\n".join([good_line] * 3) + "\nThe word verboten appears.")],
+            "doc_id long, text string",
+        ),
+        badwords=["verboten"],
+    ).collect()[0]
+    assert not bad.keep
