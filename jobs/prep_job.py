@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--quality-dim", type=int, default=64,
                     help="hashed-TF feature dimension for the classifier")
     ap.add_argument("--quality-iters", type=int, default=20)
+    ap.add_argument("--c4-rules", action="store_true",
+                    help="apply the C4 line-level cleanup + doc flags")
+    ap.add_argument("--gopher-rules", action="store_true",
+                    help="apply the Gopher doc-level quality rule set")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="stage-checkpoint path: the extract+dedup output "
                          "commits here and a rerun resumes from it")
@@ -85,6 +89,8 @@ def main() -> None:
         line_min_count=args.line_min_count,
         fuzzy=not args.no_fuzzy,
         fuzzy_threshold=args.fuzzy_threshold,
+        c4_rules=args.c4_rules,
+        gopher_rules=args.gopher_rules,
         quality_labels=labels,
         quality_dim=args.quality_dim,
         quality_iters=args.quality_iters,

@@ -88,6 +88,8 @@ def run_training_prep(
     quality_dim: int = 64,
     quality_iters: int = 20,
     quality_lr: float = 1.0,
+    c4_rules: bool = False,
+    gopher_rules: bool = False,
     chunk_max_tokens: Optional[int] = None,
     chunk_stride: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
@@ -120,6 +122,14 @@ def run_training_prep(
     exclusive with ``classifier``; training cost is
     ``quality_iters`` × (one dim-row gradient agg over the labeled
     subset), driver traffic ``dim+1`` floats per step.
+
+    ``c4_rules`` / ``gopher_rules`` enable the published heuristic
+    filters between dedup and the token filter: C4 (Raffel et al. 2020)
+    rewrites each doc to its surviving lines and drops docs failing the
+    doc flags; Gopher (Rae et al. 2021) drops docs failing its rule set.
+    Both are shuffle-free projections
+    (:func:`~readability_php_spark.operators.text_analysis.c4_quality_rules`
+    / ``gopher_quality_rules``).
 
     ``chunk_max_tokens`` enables the chunk→pack composition ("chunk down,
     then pack up"): after the token/quality filters, each document is cut
@@ -257,9 +267,41 @@ def run_training_prep(
                 "stage_params string",
             ).write.mode("overwrite").parquet(ck + "/stats")
 
-    with_tokens = cleaned.select(
-        "url", "lang", F.col("text_clean").alias("text"),
-        token_count(F.col("text_clean")).alias("n_tokens"),
+    # published heuristic filters, post-dedup / pre-token-filter:
+    # ``c4_rules`` REWRITES each document to its C4-surviving lines and
+    # drops docs failing the C4 doc flags; ``gopher_rules`` drops docs
+    # failing the Gopher rule set (doc-level only, text untouched).  Both
+    # run after line_dedup so boilerplate removal and the heuristics see
+    # the same text the tokenizer will; both are shuffle-free projections
+    # plus one url join for the rewritten text.
+    filtered = cleaned.select(
+        "url", "lang", F.col("text_clean").alias("text")
+    )
+    if c4_rules:
+        from ..operators.text_analysis import c4_quality_rules
+
+        c4 = c4_quality_rules(filtered, text_col="text", id_col="url")
+        filtered = (
+            filtered.select("url", "lang")
+            .join(
+                c4.filter("keep").select(
+                    "url", F.col("text_clean").alias("text")
+                ),
+                "url",
+            )
+            .select("url", "lang", "text")
+        )
+    if gopher_rules:
+        from ..operators.text_analysis import gopher_quality_rules
+
+        g = gopher_quality_rules(filtered, text_col="text", id_col="url")
+        filtered = filtered.join(
+            g.filter("keep").select("url"), "url", "left_semi"
+        )
+
+    with_tokens = filtered.select(
+        "url", "lang", "text",
+        token_count(F.col("text")).alias("n_tokens"),
     ).filter(F.col("n_tokens") >= min_tokens)
 
     if quality_labels is not None:

@@ -2616,3 +2616,33 @@ def test_c4_quality_rules(spark):
         badwords=["verboten"],
     ).collect()[0]
     assert not bad.keep
+
+
+def test_training_prep_quality_rule_stages(spark, tmp_path):
+    """c4_rules / gopher_rules wired into the prep pipeline: real fixture
+    articles (English prose) mostly survive both rule sets; the synthetic
+    random-vocabulary corpus fails Gopher's required-stop-word rule and
+    C4's terminal-punctuation rule, emptying the output — evidence the
+    stages actually gate."""
+    from readability_php_spark.plans.training_pipeline import run_training_prep
+
+    articles = fixture_corpus_df(spark, replicas=1).select("url", "html")
+    base = run_training_prep(
+        spark, articles, str(tmp_path / "base"), min_tokens=10,
+        pack_budget=500, fuzzy=False,
+    )
+    ruled = run_training_prep(
+        spark, articles, str(tmp_path / "ruled"), min_tokens=10,
+        pack_budget=500, fuzzy=False, c4_rules=True, gopher_rules=True,
+    )
+    assert 0 < ruled.docs_final <= base.docs_final
+    # synthetic docs: random vocabulary, no stop words, no sentence
+    # punctuation -> both rule sets drop everything
+    synth = documents_corpus_df(spark, SF).filter(F.col("doc_id") < 10).select(
+        "url", "html"
+    )
+    dropped = run_training_prep(
+        spark, synth, str(tmp_path / "synth"), min_tokens=10,
+        pack_budget=500, fuzzy=False, c4_rules=True, gopher_rules=True,
+    )
+    assert dropped.docs_final == 0
