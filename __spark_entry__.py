@@ -27,7 +27,6 @@ from readability_php_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
     exact_duplicates,
     minhash_lsh_candidates,
-    ngram_jaccard_pairs,
     simhash_near_dup_candidates,
 )
 from readability_php_spark.operators.extract import extract_operator  # noqa: E402
@@ -329,12 +328,52 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ngram_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard for the deterministic pair set (i, i+1)."""
-    docs = load_table(spark, sf_dir, "documents")
-    ids = docs.select(F.col("doc_id").alias("doc_a")).filter(F.col("doc_a") < 200)
-    pairs = ids.select("doc_a", (F.col("doc_a") + 1).alias("doc_b"))
-    return ngram_jaccard_pairs(docs, pairs).orderBy("doc_a")
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher + C4 rule sets over a deterministically ENRICHED corpus
+    (the synthetic text is single-line and punctuation-free, so rule-
+    relevant structure — extra lines ending in punctuation, bullet lines,
+    ellipsis lines, #symbols — is appended by doc_id arithmetic that the
+    DuckDB twin replays verbatim).  Checks every measured value, every
+    per-rule flag, both composite keeps, and the md5 of C4's rewritten
+    text.  (Replaces the retired ngram_jaccard_consecutive gate: its
+    rounded-Jaccard law is replayed verbatim inside training_prep_fuzzy's
+    oracle; pytest keeps direct coverage.)"""
+    from readability_php_spark.operators.text_analysis import (
+        c4_quality_rules,
+        gopher_quality_rules,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 300
+    )
+    t2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("\nThis extra line ends with terminal punctuation.")
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("\n- bullet line with enough words here.")
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("\nthis line just trails off...")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(" #tag #tag")).otherwise(F.lit("")),
+    )
+    enriched = docs.select("doc_id", t2.alias("text"))
+    g = gopher_quality_rules(enriched).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        F.col("n_required_stopwords").cast("long").alias("n_stop"),
+        F.col("keep").alias("gopher_keep"),
+    )
+    c = c4_quality_rules(enriched).select(
+        "doc_id",
+        F.col("n_lines_in").cast("long").alias("c4_lines_in"),
+        F.col("n_lines_kept").cast("long").alias("c4_lines_kept"),
+        F.md5("text_clean").alias("c4_md5"),
+        F.col("keep").alias("c4_keep"),
+    )
+    return g.join(c, "doc_id").orderBy("doc_id")
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1303,7 +1342,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     duplicated by host_cap / quality_rollup_by_window), pack_documents
     (law covered by pack_documents_bucketed + chunk_pack) and
     host_pagerank (same operator gated by outlink_pagerank over real
-    extracted edges) retired to pytest-only coverage.  Newest / riskiest
+    extracted edges) retired to pytest-only coverage.  Round-5: 
+    extract_title_roundtrip folded into extract_roundtrip and
+    ngram_jaccard_consecutive retired (its rounded-Jaccard law is
+    replayed verbatim inside training_prep_fuzzy's oracle) to seat the
+    snapshot_time_travel and quality_rules gates.  Newest / riskiest
     gates lead."""
     return {
         "extract_roundtrip": q_extract_roundtrip,
@@ -1322,7 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
-        "ngram_jaccard_consecutive": q_ngram_jaccard_consecutive,
+        "quality_rules": q_quality_rules,
         "simhash_candidates": q_simhash_candidates,
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
@@ -1855,20 +1898,89 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b
         """,
-        "ngram_jaccard_consecutive": f"""
-            WITH sh AS (SELECT doc_id, {_shingle_sql()} AS sh FROM documents),
-            pairs AS (
-              SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents
-              WHERE doc_id < 200)
-            SELECT p.doc_a, p.doc_b,
-                   round(case when len(list_distinct(a.sh || b.sh)) > 0
-                         then len(list_intersect(a.sh, b.sh))::DOUBLE
-                              / len(list_distinct(a.sh || b.sh))
-                         else 0.0 end, 4) AS jaccard
-            FROM pairs p
-            JOIN sh a ON a.doc_id = p.doc_a
-            JOIN sh b ON b.doc_id = p.doc_b
-            ORDER BY p.doc_a
+        # quality_rules: Gopher + C4 replayed value-exact — word/line
+        # metrics via list algebra, the same deterministic enrichment by
+        # doc_id arithmetic, C4's rewritten text compared by md5
+        "quality_rules": """
+            WITH enr AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+                          'This extra line ends with terminal punctuation.'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0 THEN chr(10) ||
+                          '- bullet line with enough words here.'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+                          'this line just trails off...' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN ' #tag #tag'
+                        ELSE '' END AS t
+              FROM documents WHERE doc_id < 300),
+            base AS (
+              SELECT doc_id, t,
+                     list_filter(string_split_regex(trim(t), '\s+'),
+                                 x -> x <> '') AS words,
+                     list_filter(string_split(t, chr(10)),
+                                 l -> trim(l) <> '') AS lines
+              FROM enr),
+            m AS (
+              SELECT doc_id, t, words, lines,
+                     len(words) AS n_words,
+                     CASE WHEN len(words) > 0 THEN
+                       list_sum(list_transform(words, w -> length(w)))::DOUBLE
+                       / len(words) ELSE 0.0 END AS mean_wl,
+                     (len(string_split(t, '#')) - 1
+                      + len(string_split(t, '...')) - 1
+                      + len(string_split(t, '…')) - 1) AS n_sym,
+                     CASE WHEN len(lines) > 0 THEN
+                       len(list_filter(lines, l -> regexp_matches(trim(l),
+                           '^(•|‣|▪|\*|-)\s')))::DOUBLE / len(lines)
+                       ELSE 0.0 END AS bullet_frac,
+                     CASE WHEN len(lines) > 0 THEN
+                       len(list_filter(lines, l -> regexp_matches(rtrim(l),
+                           '(\.\.\.|…)$')))::DOUBLE / len(lines)
+                       ELSE 0.0 END AS ellipsis_frac,
+                     CASE WHEN len(words) > 0 THEN
+                       len(list_filter(words, w -> regexp_matches(w,
+                           '[A-Za-z]')))::DOUBLE / len(words)
+                       ELSE 0.0 END AS alpha_frac,
+                     len(list_filter(
+                       ['the','be','to','of','and','that','have','with'],
+                       s -> list_contains(
+                         list_transform(words, w -> lower(w)), s)))
+                       AS n_stop,
+                     list_filter(lines, l ->
+                       regexp_matches(rtrim(l), '[.!?"]$')
+                       AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                               x -> x <> '')) >= 5
+                       AND NOT regexp_matches(lower(l), 'javascript'))
+                       AS kept_lines
+              FROM base)
+            SELECT doc_id,
+                   n_words::BIGINT AS n_words,
+                   round(mean_wl, 4) AS mean_word_len,
+                   round(CASE WHEN n_words > 0
+                         THEN n_sym::DOUBLE / n_words ELSE 0.0 END, 4)
+                     AS symbol_word_ratio,
+                   round(bullet_frac, 4) AS bullet_line_frac,
+                   round(ellipsis_frac, 4) AS ellipsis_line_frac,
+                   round(alpha_frac, 4) AS alpha_word_frac,
+                   n_stop::BIGINT AS n_stop,
+                   (n_words BETWEEN 50 AND 100000
+                    AND round(mean_wl, 4) BETWEEN 3.0 AND 10.0
+                    AND round(CASE WHEN n_words > 0
+                          THEN n_sym::DOUBLE / n_words ELSE 0.0 END, 4) <= 0.1
+                    AND round(bullet_frac, 4) <= 0.9
+                    AND round(ellipsis_frac, 4) <= 0.3
+                    AND round(alpha_frac, 4) >= 0.8
+                    AND n_stop >= 2) AS gopher_keep,
+                   len(lines)::BIGINT AS c4_lines_in,
+                   len(kept_lines)::BIGINT AS c4_lines_kept,
+                   md5(coalesce(array_to_string(kept_lines, chr(10)), '')) AS c4_md5,
+                   (len(kept_lines) >= 3
+                    AND NOT contains(lower(t), 'lorem ipsum')
+                    AND NOT contains(t, '{')) AS c4_keep
+            FROM m ORDER BY doc_id
         """,
         "cosine_topk": """
             WITH q AS (
