@@ -394,18 +394,19 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cosine_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k AND its sign-LSH approximate variant in one
+    gate (tagged by ``algo``) — merged from the former cosine_topk /
+    ann_topk gates to free a registry slot under the driver's 50-query cap
+    while keeping both value checks (the oracle UNION ALLs both twins)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).orderBy(
-        "query_id", "rank"
+    exact = cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).withColumn(
+        "algo", F.lit("exact")
     )
-
-
-def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ann_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10, bits=8).orderBy(
-        "query_id", "rank"
+    ann = ann_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10, bits=8).withColumn(
+        "algo", F.lit("ann")
     )
+    return exact.unionByName(ann).orderBy("algo", "query_id", "rank")
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1321,6 +1322,69 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup end-to-end on REAL codecs: each document
+    becomes the SAME picture in three formats — PNG (RGB), GIF (palette),
+    and baseline JPEG (lossy!) — and the chain (decode → DCT pHash →
+    8-block pigeonhole candidates → connected components → keep-lowest-id)
+    must collapse exactly the per-document triples.  The oracle states the
+    ground truth directly (triples cluster by doc, keeper = the PNG row):
+    a hash match proves the lossy JPEG re-encode landed within Hamming 6 of
+    its PNG/GIF siblings AND no cross-document images collided — i.e. the
+    perceptual hash actually discriminates.  doc_id is mixed into the
+    pixels so exact-duplicate TEXTS still yield distinct pictures (text
+    dedup is a different gate's job)."""
+    import pandas as pd
+
+    from readability_php_spark.operators.image_dedup import phash_image_dedup
+    from readability_php_spark.operators.multimodal import MEDIA_SCHEMA
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") < 80) & (F.length("text") > 0))
+    )
+
+    def batches(it):
+        from readability_php_spark.operators.jpeg import encode_jpeg
+        from readability_php_spark.operators.multimodal import (
+            encode_gif,
+            encode_png,
+        )
+
+        levels = [0, 85, 170, 255]
+        pal = bytes(v for v in levels for _ in range(3))
+        for pdf in it:
+            out = {"media_id": [], "kind": [], "payload": []}
+            for i in range(len(pdf)):
+                did = int(pdf["doc_id"].iat[i])
+                cps = [ord(ch) for ch in pdf["text"].iat[i][:64]] or [0]
+                L = len(cps)
+                w, h = 24 + did % 9, 20 + did % 7
+                vals = [
+                    levels[(cps[j % L] + did * 31 + j // L) % 4]
+                    for j in range(w * h)
+                ]
+                rgb = bytes(v for v in vals for _ in range(3))
+                payloads = [
+                    encode_png(w, h, rgb, color_type=2),
+                    encode_gif(w, h, pal, bytes(v >> 6 for v in vals)),
+                    encode_jpeg(w, h, bytes(vals), channels=1),
+                ]
+                for v_i, payload in enumerate(payloads):
+                    out["media_id"].append(did * 10 + v_i)
+                    out["kind"].append("image")
+                    out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return (
+        phash_image_dedup(media, max_hamming=6, blocks=8)
+        .select("media_id", "keeper", "is_keeper")
+        .orderBy("media_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1353,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_stats": q_extract_stats,
         "snapshot_time_travel": q_snapshot_time_travel,
         "media_features": q_media_features,
+        "phash_dedup": q_phash_dedup,
         "sessions_stream": q_sessions_stream,
         "chunk_pack": q_chunk_pack,
         "asof_join_events": q_asof_join_events,
@@ -1367,8 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "quality_rules": q_quality_rules,
         "simhash_candidates": q_simhash_candidates,
-        "cosine_topk": q_cosine_topk,
-        "ann_topk": q_ann_topk,
+        "cosine_ann_topk": q_cosine_ann_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "training_filter": q_training_filter,
@@ -1982,7 +2046,7 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(t, '{')) AS c4_keep
             FROM m ORDER BY doc_id
         """,
-        "cosine_topk": """
+        "cosine_ann_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qvec
               FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
@@ -1994,12 +2058,11 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (
               SELECT *, row_number() OVER
                 (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-              FROM scored)
-            SELECT query_id, neighbor_id, cos_sim, rank::INT AS rank
-            FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
-        """,
-        "ann_topk": """
-            WITH b AS (
+              FROM scored),
+            exact AS (
+              SELECT query_id, neighbor_id, cos_sim, rank::INT AS rank
+              FROM ranked WHERE rank <= 10),
+            b AS (
               SELECT vec_id, embedding,
                      (case when embedding[1] >= 0 then 1 else 0 end)
                    + (case when embedding[2] >= 0 then 2 else 0 end)
@@ -2010,19 +2073,24 @@ def oracle_sql() -> dict[str, str]:
                    + (case when embedding[7] >= 0 then 64 else 0 end)
                    + (case when embedding[8] >= 0 then 128 else 0 end) AS bucket
               FROM embeddings),
-            q AS (
+            q2 AS (
               SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
               FROM b WHERE vec_id IN (0,1,2,3,4)),
-            scored AS (
-              SELECT q.query_id, e.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(q.qvec::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cos_sim
-              FROM b e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id),
-            ranked AS (
+            ann_scored AS (
+              SELECT q2.query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q2.qvec::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cos_sim
+              FROM b e JOIN q2 ON e.bucket = q2.qbucket AND e.vec_id <> q2.query_id),
+            ann_ranked AS (
               SELECT *, row_number() OVER
                 (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-              FROM scored)
-            SELECT query_id, neighbor_id, cos_sim, rank::INT AS rank
-            FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+              FROM ann_scored),
+            ann AS (
+              SELECT query_id, neighbor_id, cos_sim, rank::INT AS rank
+              FROM ann_ranked WHERE rank <= 10)
+            SELECT 'exact' AS algo, * FROM exact
+            UNION ALL
+            SELECT 'ann' AS algo, * FROM ann
+            ORDER BY algo, query_id, rank
         """,
         "embedding_near_dups": """
             WITH both_vecs AS (
@@ -2754,6 +2822,21 @@ def oracle_sql() -> dict[str, str]:
         # replays the identical Lloyd trajectory as unrolled SQL.
         "ivf_topk": _ivf_sql(k_cent=8, iters=3, n_probe=2, topk=10,
                              query_ids=(0, 1, 2)),
+        # phash_dedup: ground truth stated directly — the three format
+        # renditions (PNG/GIF/JPEG) of each document's picture MUST form
+        # exactly one cluster with the PNG row (media_id = doc_id*10) as
+        # keeper, and nothing else may merge.  The Spark side only matches
+        # if the real decoders + DCT pHash put every lossy JPEG within
+        # Hamming 6 of its siblings and no cross-document pair collides.
+        "phash_dedup": """
+            SELECT d.doc_id * 10 + v.v AS media_id,
+                   d.doc_id * 10 AS keeper,
+                   (v.v = 0) AS is_keeper
+            FROM documents d
+            CROSS JOIN (VALUES (0), (1), (2)) AS v(v)
+            WHERE d.doc_id < 80 AND length(d.text) > 0
+            ORDER BY media_id
+        """,
         # media_features: closed-form replay of the REAL decode.  PNG is
         # lossless (pixel bytes = cycled text codepoints % 256); GIF is a
         # 4-entry palette lookup (per-index RGB triplet sums 60/150/240/

@@ -2646,3 +2646,189 @@ def test_training_prep_quality_rule_stages(spark, tmp_path):
         pack_budget=500, fuzzy=False, c4_rules=True, gopher_rules=True,
     )
     assert dropped.docs_final == 0
+
+
+# --- perceptual-hash image dedup (operators/image_dedup.py) -----------------
+
+def _phash_triple(seed, w, h):
+    """(rgb_png_pixels, gif_payload, jpeg_payload) of the SAME 4-level
+    grayscale picture in three formats (GIF-representable by design)."""
+    import random as _random
+
+    from readability_php_spark.operators.jpeg import encode_jpeg
+    from readability_php_spark.operators.multimodal import encode_gif, encode_png
+
+    rng = _random.Random(seed)
+    levels = [0, 85, 170, 255]
+    vals = [levels[rng.randrange(4)] for _ in range(w * h)]
+    rgb = bytes(v for v in vals for _ in range(3))
+    pal = bytes(v for v in levels for _ in range(3))
+    png = encode_png(w, h, rgb, color_type=2)
+    gif = encode_gif(w, h, pal, bytes(v >> 6 for v in vals))
+    jpg = encode_jpeg(w, h, bytes(vals), channels=1)
+    return png, gif, jpg
+
+
+def test_phash64_properties():
+    from readability_php_spark.operators.image_dedup import phash64
+
+    # exact brightness-scale invariance: doubling every 8-bit value is an
+    # exactly-representable linear map, so DCT signs and the median
+    # comparison are bit-identical
+    base = bytes((x * 7 + y * 13) % 128 for y in range(20) for x in range(24))
+    doubled = bytes(2 * v for v in base)
+    assert phash64(24, 20, base) == phash64(24, 20, doubled)
+
+    # channel equivalence: gray plane == RGB with r=g=b (luma weights sum
+    # to 1.0 exactly for equal channels up to fp assoc — assert equality
+    # because BT.601 on equal channels reproduces the value)
+    rgb = bytes(v for v in base for _ in range(3))
+    assert bin(phash64(24, 20, base) ^ phash64(24, 20, rgb)).count("1") <= 2
+
+    # hash is non-negative and fits the 63-bit contract
+    assert 0 <= phash64(24, 20, base) < (1 << 63)
+
+    # buffer-size discipline
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        phash64(5, 5, b"\x00" * 24)
+
+
+def test_phash64_resample_consistency():
+    """A 64x64 image made of constant 2x2 blocks hashes identically to the
+    32x32 image of the block values (area-average downsample is exact)."""
+    from readability_php_spark.operators.image_dedup import phash64
+
+    small = [(x * 11 + y * 29) % 256 for y in range(32) for x in range(32)]
+    big = bytes(
+        small[(y // 2) * 32 + (x // 2)] for y in range(64) for x in range(64)
+    )
+    assert phash64(64, 64, big) == phash64(32, 32, bytes(small))
+
+
+def test_phash_jpeg_recompression_near_dup():
+    """JPEG round-trip of the same picture stays within a small Hamming
+    distance; unrelated pictures stay far apart."""
+    from readability_php_spark.operators.image_dedup import phash64
+    from readability_php_spark.operators.jpeg import decode_jpeg
+
+    hams, cross = [], []
+    hashes = []
+    for seed in range(12):
+        w, h = 24 + seed % 9, 20 + seed % 7
+        png_rgb, _gif, jpg = _phash_triple(seed, w, h)
+        import zlib as _z  # decode our own PNG via the real decoder
+        from readability_php_spark.operators.multimodal import decode_png
+
+        pw, ph_, pix = decode_png(png_rgb)
+        h_png = phash64(pw, ph_, pix)
+        jw, jh, jpix = decode_jpeg(jpg)
+        h_jpg = phash64(jw, jh, jpix)
+        hams.append(bin(h_png ^ h_jpg).count("1"))
+        hashes.append(h_png)
+    assert max(hams) <= 6, hams
+    import itertools as _it
+    for a, b in _it.combinations(hashes, 2):
+        cross.append(bin(a ^ b).count("1"))
+    assert min(cross) >= 12, sorted(cross)[:5]
+
+
+def test_compute_phash_error_discipline(spark):
+    from readability_php_spark.operators.image_dedup import compute_phash
+
+    png, gif, jpg = _phash_triple(3, 24, 20)
+    rows = [
+        (1, "image", bytearray(png)),
+        (2, "image", bytearray(gif)),
+        (3, "image", bytearray(jpg)),
+        (4, "image", bytearray(b"GIF89a corrupt")),
+        (5, "audio", bytearray(b"RIFF....")),       # filtered (not image)
+        (6, "image", bytearray(b"RIFFWEBPVP8 ")),   # no decoder
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r.media_id: r for r in compute_phash(media).collect()}
+    assert set(out) == {1, 2, 3, 4, 6}
+    assert out[1].error is None and out[1].phash is not None
+    assert (out[1].width, out[1].height) == (24, 20)
+    # PNG and GIF encode the same picture -> identical pHash
+    assert out[1].phash == out[2].phash
+    # JPEG is lossy but perceptually the same
+    assert bin(out[1].phash ^ out[3].phash).count("1") <= 6
+    assert out[4].error.startswith("decode_error") and out[4].phash is None
+    assert out[6].error == "decoder_unavailable"
+
+
+def test_phash_candidates_pigeonhole(spark):
+    from readability_php_spark.operators.image_dedup import (
+        phash_near_dup_candidates,
+    )
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        (1, base),
+        (2, base ^ 0b111),            # hamming 3 (one block untouched)
+        (3, base ^ (1 << 60)),        # hamming 1
+        # hamming 4 spread over all four 16-bit blocks: pigeonhole with
+        # blocks=4 only guarantees <= 3, so this pair may be (and is) missed
+        (4, base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))),
+        (5, 0x7EDCBA9876543210),      # far away
+    ]
+    hashes = spark.createDataFrame(rows, "media_id long, phash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_dup_candidates(hashes, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 3 and got[(1, 3)] == 1
+    assert (1, 4) not in got            # documented recall bound
+    assert all(5 not in p for p in got)
+    # blocks=8 (8-bit blocks) guarantees distance <= 7: now (1,4) surfaces
+    got8 = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_dup_candidates(
+            hashes, max_hamming=7, blocks=8
+        ).collect()
+    }
+    assert got8[(1, 4)] == 4
+
+
+def test_phash_bucket_cap_star(spark):
+    from readability_php_spark.operators.dedup import connected_components
+    from readability_php_spark.operators.image_dedup import (
+        phash_near_dup_candidates,
+    )
+
+    rows = [(i, 42) for i in range(1, 6)]  # five identical hashes
+    hashes = spark.createDataFrame(rows, "media_id long, phash long")
+    full = phash_near_dup_candidates(hashes, max_hamming=0).collect()
+    assert len(full) == 10  # C(5,2) under the default (uncapped) path
+    star = phash_near_dup_candidates(hashes, max_hamming=0, bucket_cap=3).collect()
+    assert len(star) == 4 and all(r.id_a == 1 for r in star)
+    comps = connected_components(
+        spark.createDataFrame(star, "id_a long, id_b long, hamming int"),
+        src="id_a", dst="id_b",
+    ).collect()
+    assert {r.cluster_id for r in comps} == {1} and len(comps) == 5
+
+
+def test_phash_image_dedup_end_to_end(spark):
+    from readability_php_spark.operators.image_dedup import phash_image_dedup
+
+    rows = []
+    for d in range(4):
+        png, gif, jpg = _phash_triple(100 + d, 24 + d, 20 + d)
+        rows += [
+            (d * 10 + 0, "image", bytearray(png)),
+            (d * 10 + 1, "image", bytearray(gif)),
+            (d * 10 + 2, "image", bytearray(jpg)),
+        ]
+    rows.append((99, "image", bytearray(b"GIF89a corrupt")))  # excluded
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r.media_id: r for r in phash_image_dedup(
+        media, max_hamming=6, blocks=8
+    ).collect()}
+    assert set(out) == {d * 10 + v for d in range(4) for v in range(3)}
+    for d in range(4):
+        for v in range(3):
+            r = out[d * 10 + v]
+            assert r.keeper == d * 10, (d, v, r)
+            assert r.is_keeper == (v == 0)
