@@ -25,7 +25,6 @@ from readability_php_spark.config import Configuration  # noqa: E402
 from readability_php_spark.operators.dedup import (  # noqa: E402
     connected_components,
     exact_dedup,
-    exact_duplicates,
     minhash_lsh_candidates,
     simhash_near_dup_candidates,
 )
@@ -305,14 +304,31 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(pages).orderBy("keeper_id")
 
 
-def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup over a corpus with synthetic duplicates: every doc is
-    unioned with a copy at doc_id+1_000_000 (deterministic), so every
-    fingerprint group has size ≥ 2."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    dupes = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
-    return exact_duplicates(docs.unionByName(dupes)).orderBy("keeper_doc_id")
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023): hashed unigram+bigram
+    bucket distributions over a 40-doc target and the 400-doc raw pool,
+    Laplace-smoothed log-ratio weights, per-doc importance score.  The
+    oracle replays featurization (md5-prefix buckets), both distributions,
+    the weight formula and the weighted per-doc sum; scores round-4 so the
+    order-dependent double summation can't flap the hash.  dsir_select's
+    top-k cut over these scores is pytest-law-covered
+    (test_dsir_select_matches_independent_topk)."""
+    from readability_php_spark.operators.importance import (
+        dsir_scores,
+        dsir_weights,
+    )
 
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        (F.col("doc_id") < 400) & F.col("text").isNotNull()
+    )
+    target = docs.filter(F.col("doc_id") < 40)
+    w = dsir_weights(target, docs, buckets=4096, hash_fn="md5")
+    s = dsir_scores(docs, w, buckets=4096, hash_fn="md5")
+    return s.select(
+        "doc_id",
+        F.round(F.col("dsir_score"), 4).alias("dsir_score"),
+        "n_grams",
+    ).orderBy("doc_id")
 
 
 def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1410,8 +1426,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     extract_title_roundtrip folded into extract_roundtrip and
     ngram_jaccard_consecutive retired (its rounded-Jaccard law is
     replayed verbatim inside training_prep_fuzzy's oracle) to seat the
-    snapshot_time_travel and quality_rules gates.  Newest / riskiest
-    gates lead."""
+    snapshot_time_travel and quality_rules gates; exact_dup_groups
+    retired (its md5-fingerprint grouping law is stage 1 of
+    training_prep_fuzzy's oracle, and exact_duplicates has direct pytest
+    coverage) to seat dsir_importance.  Newest / riskiest gates lead."""
     return {
         "extract_roundtrip": q_extract_roundtrip,
         "extract_stats": q_extract_stats,
@@ -1428,7 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": q_text_analysis,
         "dedup_clusters": q_dedup_clusters,
         "url_dedup": q_url_dedup,
-        "exact_dup_groups": q_exact_dup_groups,
+        "dsir_importance": q_dsir_importance,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "quality_rules": q_quality_rules,
         "simhash_candidates": q_simhash_candidates,
@@ -1933,15 +1951,55 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) >= 2
             ORDER BY keeper_id
         """,
-        "exact_dup_groups": f"""
-            WITH both_docs AS (
+        # dsir_importance: replay featurization (unigrams + space-joined
+        # bigrams of the lowercased whitespace tokenization), md5-prefix
+        # 4096-bucketing, Laplace(α=1) target/raw distributions, the
+        # log-ratio weight and the per-doc weighted sum.  Every raw
+        # bucket is in rdist by construction, so the LEFT JOIN side
+        # mirrors Spark's full-join + broadcast-left-join coalesce.
+        "dsir_importance": """
+            WITH docs AS (
               SELECT doc_id, text FROM documents
+              WHERE doc_id < 400 AND text IS NOT NULL),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> t <> '') AS ts
+              FROM docs),
+            grams AS (
+              SELECT doc_id, unnest(ts) AS g FROM toks
               UNION ALL
-              SELECT doc_id + 1000000, text FROM documents)
-            SELECT {_FP} AS fp, min(doc_id) AS keeper_doc_id,
-                   count(*) AS group_size
-            FROM both_docs GROUP BY 1 HAVING count(*) > 1
-            ORDER BY keeper_doc_id
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i + 1])) AS g
+              FROM toks),
+            bucketed AS (
+              SELECT doc_id,
+                     list_reduce(list_transform(range(1, 9),
+                       j -> (strpos('0123456789abcdef', substr(md5(g), j, 1)) - 1)::BIGINT),
+                       (a, b) -> a * 16 + b) % 4096 AS bucket
+              FROM grams),
+            doccnt AS (
+              SELECT doc_id, bucket, count(*)::BIGINT AS c
+              FROM bucketed GROUP BY 1, 2),
+            tdist AS (
+              SELECT bucket, count(*)::BIGINT AS ct
+              FROM bucketed WHERE doc_id < 40 GROUP BY 1),
+            rdist AS (
+              SELECT bucket, count(*)::BIGINT AS cr
+              FROM bucketed GROUP BY 1),
+            w AS (
+              SELECT r.bucket,
+                     ln((coalesce(t.ct, 0) + 1.0)
+                        / ((SELECT sum(ct) FROM tdist) + 1.0 * 4096))
+                   - ln((r.cr + 1.0)
+                        / ((SELECT sum(cr) FROM rdist) + 1.0 * 4096)) AS weight
+              FROM rdist r LEFT JOIN tdist t USING (bucket))
+            SELECT d.doc_id,
+                   round(sum(d.c * w.weight), 4) AS dsir_score,
+                   sum(d.c)::BIGINT AS n_grams
+            FROM doccnt d JOIN w USING (bucket)
+            GROUP BY d.doc_id ORDER BY doc_id
         """,
         "minhash_lsh_dups": f"""
             WITH both_docs AS (

@@ -2832,3 +2832,135 @@ def test_phash_image_dedup_end_to_end(spark):
             r = out[d * 10 + v]
             assert r.keeper == d * 10, (d, v, r)
             assert r.is_keeper == (v == 0)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (operators/importance.py)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_pools(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").filter(
+        (F.col("doc_id") < 120) & F.col("text").isNotNull()
+    )
+    target = docs.filter(F.col("doc_id") < 15)
+    return target, docs
+
+
+def test_dsir_select_matches_independent_topk(spark):
+    """dsir_select's top-k cut is exactly the (score desc, id asc) head of
+    dsir_scores — the law the correctness gate's docstring delegates here."""
+    from readability_php_spark.operators.importance import (
+        dsir_scores,
+        dsir_select,
+        dsir_weights,
+    )
+
+    target, raw = _dsir_pools(spark)
+    w = dsir_weights(target, raw, buckets=1024, hash_fn="md5")
+    scores = {
+        r.doc_id: r.dsir_score
+        for r in dsir_scores(raw, w, buckets=1024, hash_fn="md5").collect()
+    }
+    expect = sorted(scores, key=lambda d: (-scores[d], d))[:25]
+    sel = dsir_select(raw, target, budget=25, buckets=1024, hash_fn="md5")
+    rows = sel.orderBy("rank").collect()
+    assert [r.doc_id for r in rows] == expect
+    assert [r.rank for r in rows] == list(range(1, 26))
+    for r in rows:
+        assert abs(r.dsir_score - scores[r.doc_id]) < 1e-9
+
+
+def test_dsir_target_vocab_scores_above_disjoint_vocab(spark):
+    """A raw doc written in the target's vocabulary must outscore a raw doc
+    with fully disjoint vocabulary (the defining DSIR property)."""
+    from readability_php_spark.operators.importance import (
+        dsir_scores,
+        dsir_weights,
+    )
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(8)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon"),
+            (101, "zork quux fnord blivet wibble"),
+        ],
+        "doc_id long, text string",
+    )
+    w = dsir_weights(target, raw, buckets=256, hash_fn="xxhash64")
+    s = {r.doc_id: r.dsir_score for r in dsir_scores(raw, w, buckets=256,
+                                                     hash_fn="xxhash64").collect()}
+    assert s[100] > s[101]
+
+
+def test_dsir_blank_and_null_text_drop_out(spark):
+    from readability_php_spark.operators.importance import (
+        dsir_scores,
+        dsir_weights,
+    )
+
+    raw = spark.createDataFrame(
+        [(1, "some real text here"), (2, "   "), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    w = dsir_weights(raw.filter(F.col("doc_id") == 1), raw,
+                     buckets=64, hash_fn="xxhash64")
+    out = dsir_scores(raw, w, buckets=64, hash_fn="xxhash64").collect()
+    assert {r.doc_id for r in out} == {1}
+    # unigrams(3) + bigrams(2) + the doc "here"-less... 4 tokens -> 4+3
+    assert out[0].n_grams == 7
+
+
+def test_dsir_length_normalize_divides_by_gram_count(spark):
+    from readability_php_spark.operators.importance import dsir_select
+
+    target, raw = _dsir_pools(spark)
+    plain = {
+        r.doc_id: r.dsir_score
+        for r in dsir_select(raw, target, budget=10_000, buckets=512,
+                             hash_fn="md5").collect()
+    }
+    normed = dsir_select(raw, target, budget=10_000, buckets=512,
+                         hash_fn="md5", length_normalize=True)
+    from readability_php_spark.operators.importance import dsir_scores, dsir_weights
+    w = dsir_weights(target, raw, buckets=512, hash_fn="md5")
+    ngrams = {
+        r.doc_id: r.n_grams
+        for r in dsir_scores(raw, w, buckets=512, hash_fn="md5").collect()
+    }
+    for r in normed.collect():
+        assert abs(r.dsir_score - plain[r.doc_id] / ngrams[r.doc_id]) < 1e-9
+
+
+def test_dsir_scoring_join_is_broadcast(spark):
+    """The weight table (≤ buckets rows) must join broadcast — the raw pool
+    shuffles once on doc_id and never on bucket."""
+    from readability_php_spark.operators.importance import (
+        dsir_scores,
+        dsir_weights,
+    )
+
+    target, raw = _dsir_pools(spark)
+    w = dsir_weights(target, raw, buckets=256, hash_fn="md5")
+    plan = dsir_scores(raw, w, buckets=256, hash_fn="md5")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exact_duplicates_group_view(spark):
+    """Direct coverage for exact_duplicates (gate retired round 5: its law
+    is stage 1 of training_prep_fuzzy's oracle)."""
+    from readability_php_spark.operators.dedup import exact_duplicates
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 40
+    )
+    dupes = docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    groups = exact_duplicates(docs.unionByName(dupes)).collect()
+    assert len(groups) == 40
+    for g in groups:
+        assert g.group_size == 2
+        assert g.keeper_doc_id < 40
