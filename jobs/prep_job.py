@@ -50,6 +50,11 @@ def main() -> None:
                     help="apply the C4 line-level cleanup + doc flags")
     ap.add_argument("--gopher-rules", action="store_true",
                     help="apply the Gopher doc-level quality rule set")
+    ap.add_argument("--dsir-target", default=None,
+                    help="parquet of exemplar target docs (text column); "
+                         "enables DSIR importance selection")
+    ap.add_argument("--dsir-budget", type=int, default=None,
+                    help="how many most-target-like docs DSIR keeps")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="stage-checkpoint path: the extract+dedup output "
                          "commits here and a rerun resumes from it")
@@ -92,6 +97,12 @@ def main() -> None:
         c4_rules=args.c4_rules,
         gopher_rules=args.gopher_rules,
         quality_labels=labels,
+        dsir_target=(
+            spark.read.parquet(args.dsir_target).select("text")
+            if args.dsir_target
+            else None
+        ),
+        dsir_budget=args.dsir_budget,
         quality_dim=args.quality_dim,
         quality_iters=args.quality_iters,
         classifier_threshold=args.quality_threshold,

@@ -90,6 +90,9 @@ def run_training_prep(
     quality_lr: float = 1.0,
     c4_rules: bool = False,
     gopher_rules: bool = False,
+    dsir_target: Optional[DataFrame] = None,
+    dsir_budget: Optional[int] = None,
+    dsir_buckets: int = 65536,
     chunk_max_tokens: Optional[int] = None,
     chunk_stride: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
@@ -131,6 +134,16 @@ def run_training_prep(
     (:func:`~readability_php_spark.operators.text_analysis.c4_quality_rules`
     / ``gopher_quality_rules``).
 
+    ``dsir_target`` + ``dsir_budget`` enable DSIR data selection (Xie et
+    al. 2023, :mod:`~readability_php_spark.operators.importance`): after
+    every other doc-level filter, keep the ``dsir_budget`` surviving docs
+    whose hashed unigram+bigram profile is most like the target frame's
+    (length-normalized importance score, deterministic tie-break).  The
+    target only contributes its n-gram distribution — any small
+    ``(text)`` DataFrame of exemplar docs works; it is never joined
+    against the corpus.  Cost: one extra pass over the surviving docs
+    (explode → two bucket aggs → broadcast-weight scoring → top-k).
+
     ``chunk_max_tokens`` enables the chunk→pack composition ("chunk down,
     then pack up"): after the token/quality filters, each document is cut
     into ``chunk_max_tokens``-token windows advancing ``chunk_stride``
@@ -157,6 +170,11 @@ def run_training_prep(
     back the written parquet."""
     tune_session_for_extraction(spark)
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if dsir_target is not None and dsir_budget is None:
+        # fail before the corpus extracts, not an hour into the run
+        raise ValueError(
+            "dsir_target requires dsir_budget (how many docs to keep)"
+        )
 
     # --- stage checkpoint: the extract→scrub→dedup chain is the expensive
     # half of the pipeline; with ``checkpoint_dir`` its output (plus the
@@ -382,6 +400,26 @@ def run_training_prep(
         # min_tokens >= 1 guarantees every surviving doc has an embedding,
         # so the semi join filters on score alone
         with_tokens = with_tokens.join(keep, "url", "left_semi")
+
+    if dsir_target is not None:
+        from ..operators.importance import dsir_select
+
+        # DSIR runs LAST among the doc-level filters so its budget buys
+        # docs that already cleared dedup + heuristics + classifier; the
+        # target pool only contributes its hashed-n-gram distribution, so
+        # any (text) frame works — it never joins the corpus
+        sel = dsir_select(
+            with_tokens,
+            dsir_target,
+            text_col="text",
+            id_col="url",
+            budget=dsir_budget,
+            buckets=dsir_buckets,
+            length_normalize=True,
+        )
+        with_tokens = with_tokens.join(
+            sel.select("url"), "url", "left_semi"
+        )
 
     if chunk_max_tokens is not None:
         from ..operators.packing import chunk_documents

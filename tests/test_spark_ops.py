@@ -2964,3 +2964,32 @@ def test_exact_duplicates_group_view(spark):
     for g in groups:
         assert g.group_size == 2
         assert g.keeper_doc_id < 40
+
+
+def test_training_prep_dsir_selection(spark, tmp_path):
+    """DSIR selection stage in the composed pipeline: keeps exactly the
+    budget, runs after every other filter, and fails fast on a missing
+    budget (before the corpus extracts)."""
+    import pytest
+
+    from readability_php_spark.plans.training_pipeline import run_training_prep
+
+    pages = documents_corpus_df(spark, SF).filter(F.col("doc_id") < 60).select(
+        "url", "html"
+    )
+    target = load_table(spark, SF, "documents").filter(
+        F.col("doc_id") < 8
+    ).select("text")
+    with pytest.raises(ValueError, match="dsir_budget"):
+        run_training_prep(
+            spark, pages, str(tmp_path / "never"), dsir_target=target
+        )
+    out_dir = str(tmp_path / "prep_dsir")
+    res = run_training_prep(
+        spark, pages, out_dir,
+        min_tokens=10, pack_budget=500,
+        dsir_target=target, dsir_budget=10,
+    )
+    assert res.docs_final == 10
+    out = spark.read.parquet(out_dir)
+    assert out.select("url").distinct().count() == 10
