@@ -16,13 +16,20 @@ Spark-first shape (100 TB rationale):
 
 - featurization is pure column algebra on the scan (split → zip_with
   bigrams → explode) — no UDF;
-- both distributions are ONE map-side-combined groupBy over ``buckets``
-  keys (default 2¹⁶) — the result is a bucket-count table small enough to
-  BROADCAST, so scoring is a broadcast hash join + per-doc agg: the raw
-  corpus shuffles once, on doc_id, with integer per-(doc, bucket) counts
-  (grams collapse doc-side before the join — the join input is
+- each distribution is ONE map-side-combined groupBy over ``buckets``
+  keys (default 2¹⁶) — the result is a bucket-count table small enough
+  to BROADCAST, so scoring is a broadcast hash join + per-doc agg: the
+  raw corpus shuffles once, on doc_id, with integer per-(doc, bucket)
+  counts (grams collapse doc-side before the join — the join input is
   O(distinct buckets per doc), not O(tokens));
-- totals (T, R) are scalar aggs collected on the driver (two rows).
+- the smoothing totals (T, R) come from an unpartitioned window over the
+  joined bucket tables — ≤ ``buckets`` rows through one task, bounded by
+  construction (same discipline as the centroid collects), and crucially
+  computed INSIDE the weight plan: no scalar-collect action that would
+  re-tokenize a pool a second time;
+- ``dsir_select`` tokenizes the raw corpus exactly ONCE: the per-doc
+  bucket counts are localCheckpoint'ed (PageRank's idiom) and both the
+  raw distribution and the scoring join read that materialization.
 
 ``hash_fn="xxhash64"`` is the production path (one JVM intrinsic per
 gram); ``"md5"`` derives the bucket from the leading 8 hex digits of
@@ -31,6 +38,8 @@ uses (same convention as the minhash / hashed-TF families).
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -44,8 +53,10 @@ def _grams(text_col: str) -> Column:
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: t != F.lit(""),
     )
-    # zip_with pads the shorter side with null; concat(null) -> null,
-    # filtered out -> exactly the size-1 bigram list
+    # zip_with pads the shorter side with null; concat_ws SKIPS nulls, so
+    # the padded last slot yields the bare final token (no space) — the
+    # contains-a-space filter is what drops it (tokens themselves can
+    # never contain one: they were split on whitespace)
     bigrams = F.filter(
         F.zip_with(
             toks,
@@ -86,11 +97,61 @@ def hashed_gram_counts(
     ).agg(F.count("*").alias("c"))
 
 
+def _bucket_dist(
+    df: DataFrame, text_col: str, name: str, buckets: int, hash_fn: str
+) -> DataFrame:
+    """(bucket, <name>) — pool-level hashed gram counts: one explode + one
+    map-side-combined bucket agg (≤ ``buckets`` result rows)."""
+    grams = df.select(F.explode(_grams(text_col)).alias("g"))
+    return grams.groupBy(
+        _bucket(F.col("g"), buckets, hash_fn).alias("bucket")
+    ).agg(F.count("*").alias(name))
+
+
+def _weights_from_dists(
+    tdist: DataFrame, rdist: DataFrame, buckets: int, alpha: float
+) -> DataFrame:
+    """(bucket, weight) from two (bucket, count) tables.  The smoothing
+    totals are window sums over the joined table — ≤ ``buckets`` rows
+    through one task (bounded by construction), and part of the same plan
+    as the weights themselves, so building the broadcast table costs no
+    extra pass over either pool."""
+    joined = tdist.join(rdist, "bucket", "full").select(
+        "bucket",
+        F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+        F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+    )
+    tot = Window.partitionBy()  # ≤ buckets rows — bounded single task
+    tot_t = F.sum("ct").over(tot)
+    tot_r = F.sum("cr").over(tot)
+    w = F.log((F.col("ct") + alpha) / (tot_t + alpha * buckets)) - F.log(
+        (F.col("cr") + alpha) / (tot_r + alpha * buckets)
+    )
+    return joined.select("bucket", w.alias("weight"))
+
+
+def _target_dist_checked(
+    target: DataFrame, text_col: str, buckets: int, hash_fn: str
+) -> DataFrame:
+    """The target pool's bucket distribution, localCheckpoint'ed (one pass
+    over the — small, by DSIR's design — target) and verified non-empty:
+    a zero-gram target would silently degenerate every weight to
+    ln(α/α·B) − ln p_raw, i.e. "select the rarest-bucket docs", which is
+    never what the caller meant.  Fail fast instead (mirrors the
+    quality_labels empty-seed guard in the prep pipeline)."""
+    t = _bucket_dist(target, text_col, "ct", buckets, hash_fn).localCheckpoint()
+    if not t.head(1):
+        raise ValueError(
+            "dsir: the target pool has no grams (empty frame, or all "
+            "text null/blank) — importance weights would be meaningless"
+        )
+    return t
+
+
 def dsir_weights(
     target: DataFrame,
     raw: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     *,
     buckets: int = 65536,
     hash_fn: str = "xxhash64",
@@ -98,27 +159,14 @@ def dsir_weights(
 ) -> DataFrame:
     """(bucket, weight) with weight = ln p̂_target(bucket) − ln p̂_raw(bucket),
     both Laplace-smoothed: p̂(b) = (count_b + alpha) / (total + alpha·buckets).
-    At most ``buckets`` rows — broadcastable by construction."""
-    def dist(df: DataFrame, name: str) -> DataFrame:
-        grams = df.select(F.explode(_grams(text_col)).alias("g"))
-        return grams.groupBy(
-            _bucket(F.col("g"), buckets, hash_fn).alias("bucket")
-        ).agg(F.count("*").alias(name))
-
-    t, r = dist(target, "ct"), dist(raw, "cr")
-    # scalar totals: two single-row collects (bounded — same discipline as
-    # the classifier's dim+1 gradient collect)
-    tot_t = t.agg(F.sum("ct")).first()[0] or 0
-    tot_r = r.agg(F.sum("cr")).first()[0] or 0
-    joined = t.join(r, "bucket", "full").select(
-        "bucket",
-        F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
-        F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
-    )
-    w = F.log((F.col("ct") + alpha) / (tot_t + alpha * buckets)) - F.log(
-        (F.col("cr") + alpha) / (tot_r + alpha * buckets)
-    )
-    return joined.select("bucket", w.alias("weight"))
+    At most ``buckets`` rows — broadcastable by construction.  Consuming
+    the result costs one tokenization pass over each pool (the totals are
+    windowed into the same plan, not collected).  Raises if the target
+    pool has no grams.  Only ``text_col`` is read from either frame — the
+    target needs no id column."""
+    t = _target_dist_checked(target, text_col, buckets, hash_fn)
+    r = _bucket_dist(raw, text_col, "cr", buckets, hash_fn)
+    return _weights_from_dists(t, r, buckets, alpha)
 
 
 def dsir_scores(
@@ -138,6 +186,12 @@ def dsir_scores(
     counts = hashed_gram_counts(
         raw, text_col, id_col, buckets=buckets, hash_fn=hash_fn
     )
+    return _score_counts(counts, weights, id_col)
+
+
+def _score_counts(
+    counts: DataFrame, weights: DataFrame, id_col: str
+) -> DataFrame:
     scored = counts.join(F.broadcast(weights), "bucket", "left").groupBy(
         "id"
     ).agg(
@@ -160,29 +214,48 @@ def dsir_select(
     hash_fn: str = "xxhash64",
     alpha: float = 1.0,
     length_normalize: bool = False,
+    score_decimals: Optional[int] = 6,
 ) -> DataFrame:
     """Select the ``budget`` raw documents whose hashed-n-gram profile is
     most target-like: weights → scores → global top-``budget`` by
-    (score desc, id asc — deterministic tie-break).  The paper resamples
-    with Gumbel noise to diversify; deterministic top-k is the
-    reproducible variant and the correctness-gate path (seeded Gumbel is
-    a one-line addition at the score column).  ``length_normalize``
-    divides by the gram count so long documents don't dominate.
+    (score desc, id asc).  The paper resamples with Gumbel noise to
+    diversify; deterministic top-k is the reproducible variant (seeded
+    Gumbel is a one-line addition at the score column).
+    ``length_normalize`` divides by the gram count so long documents
+    don't dominate.
 
-    Returns (id, dsir_score, rank).  The global top-k is a TakeOrdered
-    (per-partition top-k then merge) — no full sort of the corpus."""
-    w = dsir_weights(
-        target, raw, text_col, id_col,
-        buckets=buckets, hash_fn=hash_fn, alpha=alpha,
-    )
-    s = dsir_scores(
-        raw, w, text_col, id_col, buckets=buckets, hash_fn=hash_fn
-    )
+    Determinism: a double sum accumulates in partition order, so two docs
+    whose true scores differ only by reassociation noise could otherwise
+    swap across the budget boundary between runs.  ``score_decimals``
+    (default 6) quantizes the score BEFORE ranking — FP-noise "ties"
+    become exact ties and fall to the id tie-break, making the selected
+    set stable across cluster sizes/partitionings.  Pass ``None`` for the
+    raw double (exact-arithmetic laws, e.g. the unit tests).
+
+    The raw corpus is tokenized exactly once: the per-doc bucket counts
+    are localCheckpoint'ed and reused for both the raw distribution and
+    the scoring join.  The global top-k is a TakeOrdered (per-partition
+    top-k then merge) — no full sort of the corpus.
+
+    Returns (id, dsir_score, rank)."""
+    if budget <= 0:
+        raise ValueError(f"dsir_select: budget must be positive, got {budget}")
+    # one tokenization pass over raw, materialized (PageRank's idiom);
+    # both consumers below read the checkpointed blocks
+    counts = hashed_gram_counts(
+        raw, text_col, id_col, buckets=buckets, hash_fn=hash_fn
+    ).localCheckpoint()
+    rdist = counts.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    t = _target_dist_checked(target, text_col, buckets, hash_fn)
+    w = _weights_from_dists(t, rdist, buckets, alpha)
+    s = _score_counts(counts, w, id_col)
     score = (
         (F.col("dsir_score") / F.col("n_grams"))
         if length_normalize
         else F.col("dsir_score")
     )
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
     ranked = s.select(
         F.col(id_col), score.alias("dsir_score"), "n_grams"
     ).orderBy(F.col("dsir_score").desc(), F.col(id_col)).limit(budget)

@@ -141,8 +141,11 @@ def run_training_prep(
     (length-normalized importance score, deterministic tie-break).  The
     target only contributes its n-gram distribution — any small
     ``(text)`` DataFrame of exemplar docs works; it is never joined
-    against the corpus.  Cost: one extra pass over the surviving docs
-    (explode → two bucket aggs → broadcast-weight scoring → top-k).
+    against the corpus.  Cost: ONE tokenization pass over the surviving
+    docs (the per-doc bucket counts are checkpointed and reused for the
+    raw distribution and the scoring join) plus one over the target;
+    scores are quantized before ranking so the selected set is
+    deterministic across partitionings.
 
     ``chunk_max_tokens`` enables the chunk→pack composition ("chunk down,
     then pack up"): after the token/quality filters, each document is cut
@@ -170,11 +173,21 @@ def run_training_prep(
     back the written parquet."""
     tune_session_for_extraction(spark)
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    # fail before the corpus extracts, not an hour into the run
     if dsir_target is not None and dsir_budget is None:
-        # fail before the corpus extracts, not an hour into the run
         raise ValueError(
             "dsir_target requires dsir_budget (how many docs to keep)"
         )
+    if dsir_budget is not None:
+        if dsir_target is None:
+            raise ValueError(
+                "dsir_budget without dsir_target does nothing — pass the "
+                "exemplar target frame too"
+            )
+        if dsir_budget <= 0:
+            raise ValueError(
+                f"dsir_budget must be positive, got {dsir_budget}"
+            )
 
     # --- stage checkpoint: the extract→scrub→dedup chain is the expensive
     # half of the pipeline; with ``checkpoint_dir`` its output (plus the

@@ -2863,7 +2863,8 @@ def test_dsir_select_matches_independent_topk(spark):
         for r in dsir_scores(raw, w, buckets=1024, hash_fn="md5").collect()
     }
     expect = sorted(scores, key=lambda d: (-scores[d], d))[:25]
-    sel = dsir_select(raw, target, budget=25, buckets=1024, hash_fn="md5")
+    sel = dsir_select(raw, target, budget=25, buckets=1024, hash_fn="md5",
+                      score_decimals=None)
     rows = sel.orderBy("rank").collect()
     assert [r.doc_id for r in rows] == expect
     assert [r.rank for r in rows] == list(range(1, 26))
@@ -2921,10 +2922,11 @@ def test_dsir_length_normalize_divides_by_gram_count(spark):
     plain = {
         r.doc_id: r.dsir_score
         for r in dsir_select(raw, target, budget=10_000, buckets=512,
-                             hash_fn="md5").collect()
+                             hash_fn="md5", score_decimals=None).collect()
     }
     normed = dsir_select(raw, target, budget=10_000, buckets=512,
-                         hash_fn="md5", length_normalize=True)
+                         hash_fn="md5", length_normalize=True,
+                         score_decimals=None)
     from readability_php_spark.operators.importance import dsir_scores, dsir_weights
     w = dsir_weights(target, raw, buckets=512, hash_fn="md5")
     ngrams = {
@@ -2993,3 +2995,31 @@ def test_training_prep_dsir_selection(spark, tmp_path):
     assert res.docs_final == 10
     out = spark.read.parquet(out_dir)
     assert out.select("url").distinct().count() == 10
+
+
+def test_dsir_quantized_scores_and_guards(spark):
+    """Default score_decimals=6 quantizes before ranking (FP-noise ties
+    fall to the id tie-break); empty targets and bad budgets fail fast."""
+    import pytest
+
+    from readability_php_spark.operators.importance import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    target, raw = _dsir_pools(spark)
+    exact = {
+        r.doc_id: r.dsir_score
+        for r in dsir_select(raw, target, budget=10_000, buckets=512,
+                             hash_fn="md5", score_decimals=None).collect()
+    }
+    for r in dsir_select(raw, target, budget=10_000, buckets=512,
+                         hash_fn="md5").collect():
+        assert r.dsir_score == round(exact[r.doc_id], 6)
+    with pytest.raises(ValueError, match="budget must be positive"):
+        dsir_select(raw, target, budget=0, buckets=512)
+    empty = spark.createDataFrame(
+        [(1, None), (2, "   ")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="no grams"):
+        dsir_weights(empty, raw, buckets=512)
