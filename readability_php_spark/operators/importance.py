@@ -215,14 +215,21 @@ def dsir_select(
     alpha: float = 1.0,
     length_normalize: bool = False,
     score_decimals: Optional[int] = 6,
+    gumbel_seed: Optional[int] = None,
 ) -> DataFrame:
     """Select the ``budget`` raw documents whose hashed-n-gram profile is
     most target-like: weights → scores → global top-``budget`` by
-    (score desc, id asc).  The paper resamples with Gumbel noise to
-    diversify; deterministic top-k is the reproducible variant (seeded
-    Gumbel is a one-line addition at the score column).
-    ``length_normalize`` divides by the gram count so long documents
-    don't dominate.
+    (score desc, id asc).  ``length_normalize`` divides by the gram count
+    so long documents don't dominate.
+
+    ``gumbel_seed`` enables the paper's actual selection rule — Gumbel
+    top-k resampling (top-k of score + Gumbel(0,1) noise ≡ sampling
+    ``budget`` docs without replacement ∝ exp(score)), which diversifies
+    the mixture instead of hard-thresholding it.  The noise is a
+    DETERMINISTIC function of (seed, doc id) — xxhash64 → uniform →
+    −ln(−ln u) — so the draw is reproducible across runs, partitionings
+    and cluster sizes, unlike ``F.rand``.  The returned ``dsir_score`` is
+    the noised value actually ranked on.
 
     Determinism: a double sum accumulates in partition order, so two docs
     whose true scores differ only by reassociation noise could otherwise
@@ -254,6 +261,18 @@ def dsir_select(
         if length_normalize
         else F.col("dsir_score")
     )
+    if gumbel_seed is not None:
+        # u ∈ (0,1): 63-bit hash of (seed, id) scaled into the OPEN unit
+        # interval (the +0.5 offset keeps u off both endpoints, where
+        # ln(−ln u) blows up); one JVM intrinsic per doc, no RNG state
+        u = (
+            F.pmod(
+                F.xxhash64(F.lit(int(gumbel_seed)), F.col(id_col)),
+                F.lit(2**61),
+            ).cast("double")
+            + 0.5
+        ) / F.lit(float(2**61))
+        score = score + (-F.log(-F.log(u)))
     if score_decimals is not None:
         score = F.round(score, score_decimals)
     ranked = s.select(

@@ -3023,3 +3023,23 @@ def test_dsir_quantized_scores_and_guards(spark):
     )
     with pytest.raises(ValueError, match="no grams"):
         dsir_weights(empty, raw, buckets=512)
+
+
+def test_dsir_gumbel_resampling_deterministic_and_diversifying(spark):
+    """Seeded Gumbel top-k: same seed → identical draw across runs;
+    different seeds → (generally) different sets; noise is bounded enough
+    that scores still matter."""
+    from readability_php_spark.operators.importance import dsir_select
+
+    target, raw = _dsir_pools(spark)
+    a1 = [r.doc_id for r in dsir_select(
+        raw, target, budget=15, buckets=512, hash_fn="md5",
+        gumbel_seed=7).orderBy("rank").collect()]
+    a2 = [r.doc_id for r in dsir_select(
+        raw, target, budget=15, buckets=512, hash_fn="md5",
+        gumbel_seed=7).orderBy("rank").collect()]
+    assert a1 == a2  # reproducible draw
+    b = [r.doc_id for r in dsir_select(
+        raw, target, budget=15, buckets=512, hash_fn="md5",
+        gumbel_seed=8).orderBy("rank").collect()]
+    assert a1 != b  # a different seed reshuffles the draw
