@@ -249,7 +249,19 @@ def embedding_near_dups(
     b = embeddings.withColumn("bucket", signbit_bucket(vec_col, bits)).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket"
     )
-    # bounded agg: at most 2^bits rows come back
+    pairs = _bucketed_cosine_pairs(b, max_bucket_rows)
+    return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def _bucketed_cosine_pairs(b: DataFrame, max_bucket_rows: int) -> DataFrame:
+    """All within-bucket (id_a < id_b, round-4 cos_sim) pairs of a
+    (id, vec, bucket) frame; the shuffle key is the bucket — never an
+    all-pairs cross product.  Shared scale guard (see embedding_near_dups'
+    docstring): when the largest bucket exceeds ``max_bucket_rows`` the
+    a-side replicates ``s`` ways and the b-side salts by id-hash, so each
+    (bucket, salt) key carries ~1/s of the quadratic pair work while every
+    pair still meets exactly once."""
+    # bounded agg: one row per bucket feeds a scalar max
     biggest = (
         b.groupBy("bucket").count().agg(F.max("count")).first()[0] or 0
     )
@@ -273,12 +285,85 @@ def embedding_near_dups(
             & (F.col("rep") == F.col("salt"))
             & (F.col("a.id") < F.col("b.id")),
         )
-    pairs = joined.select(
+    return joined.select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
         F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos_sim"),
     )
-    return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_rows: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by embedding
+    clustering — k-means the corpus into cells, compare pairs only WITHIN
+    a cell, and inside every group of mutual near-duplicates (cosine ≥
+    ``threshold``, closed transitively) keep the member FARTHEST from its
+    cell centroid (the paper's rule: the least prototypical example keeps
+    the most information; ties break to the lower id).
+
+    Returns one row per input vector:
+    ``(id_col, sem_cluster, centroid_sim, is_keeper)`` — ``sem_cluster``
+    is the duplicate group's min id (singletons: the vector's own id),
+    ``centroid_sim`` the round-4 cosine to the assigned centroid.
+    ``df.filter("is_keeper")`` is the deduplicated corpus.
+
+    Scale shape: the coarse quantizer is the bounded deterministic Lloyd
+    of :func:`kmeans_centroids` (literal-centroid broadcast, one k-way
+    mean shuffle per iteration); cell assignment is a shuffle-free map;
+    the pair join is keyed on the cell id with the shared salted
+    mega-bucket guard (``max_cluster_rows``); grouping is the O(log d)
+    connected-components of the dedup chain.  Nothing is all-pairs."""
+    from .dedup import connected_components
+
+    cent = kmeans_centroids(
+        embeddings, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    centroids = [(r.cid, list(r.cvec)) for r in cent.orderBy("cid").collect()]
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in v]) for _, v in centroids]
+    )
+    asn = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        nearest_centroids(vec_col, centroids, 1)[0]
+        .getField("cid")
+        .alias("bucket"),
+    ).withColumn(
+        "centroid_sim",
+        F.round(
+            cosine(F.col("vec"), F.element_at(cents_lit, F.col("bucket") + 1)),
+            4,
+        ),
+    )
+    edges = _bucketed_cosine_pairs(
+        asn.select("id", "vec", "bucket"), max_cluster_rows
+    ).filter(F.col("cos_sim") >= threshold)
+    cc = connected_components(edges, src="id_a", dst="id_b")
+    members = asn.join(
+        cc, asn["id"] == cc["doc_id"], "left"
+    ).select(
+        F.col("id"),
+        F.coalesce(F.col("cluster_id"), F.col("id")).alias("sem_cluster"),
+        "centroid_sim",
+    )
+    # keeper = lowest centroid_sim in the group (farthest from the
+    # prototype), id tie-break; groups are near-dup clusters — small —
+    # so the window partitions are bounded
+    w = Window.partitionBy("sem_cluster").orderBy(
+        F.asc("centroid_sim"), F.asc("id")
+    )
+    return members.select(
+        F.col("id").alias(id_col),
+        "sem_cluster",
+        "centroid_sim",
+        (F.row_number().over(w) == 1).alias("is_keeper"),
+    )
 
 
 def signbit_bucket(vec_col: str, bits: int = 8) -> Column:

@@ -3043,3 +3043,70 @@ def test_dsir_gumbel_resampling_deterministic_and_diversifying(spark):
         raw, target, budget=15, buckets=512, hash_fn="md5",
         gumbel_seed=8).orderBy("rank").collect()]
     assert a1 != b  # a different seed reshuffles the draw
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (operators/similarity.py:semdedup)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_corpus(spark):
+    """sf0.001 embeddings (100 vecs) + planted semantic dups: each vec_id
+    < 10 gets a copy at +1000 scaled by 1.001 — same direction, cosine
+    exactly 1.0, so every planted pair MUST collapse at any threshold."""
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id") < 100)
+    dupes = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 1.001).cast("float")
+        ).alias("embedding"),
+    )
+    return emb.unionByName(dupes)
+
+
+def test_semdedup_collapses_planted_semantic_dups(spark):
+    from readability_php_spark.operators.similarity import semdedup
+
+    out = semdedup(
+        _semdedup_corpus(spark), threshold=0.999, n_centroids=4
+    ).collect()
+    rows = {r.vec_id: r for r in out}
+    assert len(rows) == 110  # one row per input vector
+    for i in range(10):
+        a, b = rows[i], rows[i + 1000]
+        # planted pair clusters together under the min-id label...
+        assert a.sem_cluster == b.sem_cluster == i
+        # ...with exactly one keeper: the member FARTHEST from the
+        # centroid (lowest centroid_sim; id tie-break)
+        assert a.is_keeper != b.is_keeper
+        keeper, loser = (a, b) if a.is_keeper else (b, a)
+        assert (keeper.centroid_sim, keeper.vec_id) <= (
+            loser.centroid_sim, loser.vec_id
+        )
+    # a keeper per cluster, exactly
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r.sem_cluster, []).append(r.is_keeper)
+    for cid, flags in clusters.items():
+        assert sum(flags) == 1, cid
+
+
+def test_semdedup_salted_mega_cluster_path_identical(spark):
+    """Forcing the salted pair join (max_cluster_rows < any cell size)
+    must produce byte-identical output to the unsalted path."""
+    from readability_php_spark.operators.similarity import semdedup
+
+    corpus = _semdedup_corpus(spark)
+    plain = sorted(
+        (r.vec_id, r.sem_cluster, r.centroid_sim, r.is_keeper)
+        for r in semdedup(corpus, threshold=0.999, n_centroids=4).collect()
+    )
+    salted = sorted(
+        (r.vec_id, r.sem_cluster, r.centroid_sim, r.is_keeper)
+        for r in semdedup(
+            corpus, threshold=0.999, n_centroids=4, max_cluster_rows=7
+        ).collect()
+    )
+    assert plain == salted
