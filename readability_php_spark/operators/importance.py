@@ -262,16 +262,19 @@ def dsir_select(
         else F.col("dsir_score")
     )
     if gumbel_seed is not None:
-        # u ∈ (0,1): 63-bit hash of (seed, id) scaled into the OPEN unit
-        # interval (the +0.5 offset keeps u off both endpoints, where
-        # ln(−ln u) blows up); one JVM intrinsic per doc, no RNG state
+        # u ∈ (0,1): hash of (seed, id) scaled into the OPEN unit
+        # interval.  The modulus is 2^52 — NOT 2^61 — so every value and
+        # the +0.5 offset are exactly representable as doubles (< 2^53):
+        # u is strictly inside (0,1) with no rounding to an endpoint,
+        # where ln(−ln u) would go NULL and silently drop the doc.  One
+        # JVM intrinsic per doc, no RNG state.
         u = (
             F.pmod(
                 F.xxhash64(F.lit(int(gumbel_seed)), F.col(id_col)),
-                F.lit(2**61),
+                F.lit(2**52),
             ).cast("double")
             + 0.5
-        ) / F.lit(float(2**61))
+        ) / F.lit(float(2**52))
         score = score + (-F.log(-F.log(u)))
     if score_decimals is not None:
         score = F.round(score, score_decimals)

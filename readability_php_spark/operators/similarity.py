@@ -67,6 +67,15 @@ def cosine_topk(
     )
 
 
+def _centroid_array_lit(centroids: list) -> Column:
+    """The (cid-ordered) centroid list as ONE literal array-of-arrays
+    column.  Shared by every consumer that indexes centroids by cid, so
+    the cid == list-index invariant is pinned in one place."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in v]) for _, v in centroids]
+    )
+
+
 def nearest_centroids(
     vec_col: str, centroids: list, probes: int
 ) -> Column:
@@ -74,9 +83,7 @@ def nearest_centroids(
     (cid, vector) centroids — pure column algebra over a literal centroid
     array (centroids must be ordered by cid; ties break to the lower cid
     via struct sort order, matching a row_number over (d2 asc, cid asc))."""
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in v]) for _, v in centroids]
-    )
+    cents = _centroid_array_lit(centroids)
     d2s = F.transform(
         cents,
         lambda c: F.aggregate(
@@ -325,9 +332,7 @@ def semdedup(
         embeddings, n_centroids, id_col=id_col, vec_col=vec_col
     )
     centroids = [(r.cid, list(r.cvec)) for r in cent.orderBy("cid").collect()]
-    cents_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in v]) for _, v in centroids]
-    )
+    cents_lit = _centroid_array_lit(centroids)
     asn = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -340,7 +345,11 @@ def semdedup(
             cosine(F.col("vec"), F.element_at(cents_lit, F.col("bucket") + 1)),
             4,
         ),
-    )
+    # the argmin+cosine map is the operator's most expensive expression
+    # and feeds FOUR consumers (the eager bucket-size count, both sides
+    # of the pair self-join, the members join) — materialize it once
+    # (dsir_select's idiom)
+    ).localCheckpoint()
     edges = _bucketed_cosine_pairs(
         asn.select("id", "vec", "bucket"), max_cluster_rows
     ).filter(F.col("cos_sim") >= threshold)

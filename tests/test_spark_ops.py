@@ -3072,8 +3072,9 @@ def test_semdedup_collapses_planted_semantic_dups(spark):
     out = semdedup(
         _semdedup_corpus(spark), threshold=0.999, n_centroids=4
     ).collect()
+    assert len(out) == 110  # one row per input vector (no join fan-out)
     rows = {r.vec_id: r for r in out}
-    assert len(rows) == 110  # one row per input vector
+    assert len(rows) == 110
     for i in range(10):
         a, b = rows[i], rows[i + 1000]
         # planted pair clusters together under the min-id label...
