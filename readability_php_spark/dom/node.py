@@ -132,7 +132,7 @@ class Comment(Node):
 class Element(Node):
     __slots__ = ("tag", "attrs", "first_child", "last_child",
                  "content_score", "initialized", "_tc_epoch", "_tc_val",
-                 "_nt_epoch", "_nt_val")
+                 "_nt_epoch", "_nt_val", "_ll_epoch", "_ll_val")
     node_type = ELEMENT_NODE
 
     def __init__(self, tag: str, attrs: Optional[dict] = None) -> None:
@@ -152,6 +152,9 @@ class Element(Node):
         # normalized-text cache (filled by kernel.nodeutil.get_text_content)
         self._nt_epoch: int = -1
         self._nt_val: str = ""
+        # subtree link-text-length cache (kernel.nodeutil.subtree_link_len)
+        self._ll_epoch: int = -1
+        self._ll_val: int = 0
 
     # --- children ---------------------------------------------------------
     def append_child(self, node: Node) -> Node:

@@ -140,15 +140,64 @@ def get_text_content(node: Node, normalize: bool = False) -> str:
     return value
 
 
+def subtree_link_len(root: Node) -> int:
+    """Σ over ``<a>`` descendants of ``root`` (root excluded) of the
+    normalized-text length — exactly the ``link_length`` loop of
+    ``get_link_density`` (NodeTrait.php:230-260), computed bottom-up with a
+    per-mutation-epoch cache on each element.  The scoring pass queries
+    link density on every candidate of overlapping ancestor chains; the
+    uncached version re-walks the shared subtree per candidate (an ``a``
+    DFS was 83% of all get_elements_by_tag_name calls).  Pure memoization:
+    the same set of ``<a>`` descendants contributes the same per-link
+    normalized lengths (nested ``<a>`` counted once each, as the flat
+    descendant scan does), summed by commutative addition — the returned
+    value is bit-identical to the flat loop's."""
+    ep = _node_mod._mutation_epoch
+    if root.node_type == ELEMENT_NODE and root._ll_epoch == ep:  # type: ignore[union-attr]
+        return root._ll_val  # type: ignore[union-attr]
+    acc = 0
+    fin: list = []  # (element, accumulated-total-before-entering-it)
+    n = root.first_child  # type: ignore[union-attr]
+    while True:
+        if n is None:
+            if not fin:
+                break
+            e, saved = fin.pop()
+            e._ll_epoch = ep
+            e._ll_val = acc
+            if e.tag == "a":
+                acc += len(get_text_content(e, True))
+            acc += saved
+            n = e.next
+            continue
+        if type(n) is Element:
+            if n._ll_epoch == ep:
+                acc += n._ll_val
+                if n.tag == "a":
+                    acc += len(get_text_content(n, True))
+            elif n.first_child is None:
+                n._ll_epoch = ep
+                n._ll_val = 0
+                if n.tag == "a":
+                    acc += len(get_text_content(n, True))
+            else:
+                fin.append((n, acc))
+                acc = 0
+                n = n.first_child
+                continue
+        n = n.next
+    if root.node_type == ELEMENT_NODE:
+        root._ll_epoch = ep  # type: ignore[union-attr]
+        root._ll_val = acc  # type: ignore[union-attr]
+    return acc
+
+
 def get_link_density(node: Element) -> float:
     # NodeTrait.php:230-260
     text_length = len(get_text_content(node, True))
     if not text_length:
         return 0.0
-    link_length = 0
-    for link in node.get_elements_by_tag_name("a"):
-        link_length += len(get_text_content(link, True))
-    return link_length / text_length
+    return subtree_link_len(node) / text_length
 
 
 # --- ancestry --------------------------------------------------------------
