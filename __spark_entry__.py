@@ -25,6 +25,7 @@ from readability_php_spark.config import Configuration  # noqa: E402
 from readability_php_spark.operators.dedup import (  # noqa: E402
     connected_components,
     exact_dedup,
+    exact_substring_dedup,
     minhash_lsh_candidates,
     simhash_near_dup_candidates,
 )
@@ -237,21 +238,50 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("view", "doc_id")
 
 
-def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language corpus stats — count / mean / max plus the exact
-    continuous median (the former docs_per_lang and median_chars_by_lang
-    gates folded into one registry slot)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("lang")
-        .agg(
-            F.count("*").alias("docs"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-            F.max("n_chars").alias("max_chars"),
-            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
-        )
-        .orderBy("lang")
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2022 ExactSubstr,
+    operators/dedup.py exact_substring_dedup) over a deterministically
+    augmented corpus: every 3rd doc gets a shared 12-token boilerplate
+    tail (cut from all but the earliest copy), every 7th doc is also
+    present as a whole-document duplicate under doc_id+100000 (fully
+    excised — every gram's keeper is the original).  The oracle replays
+    tokenization, positioned 8-grams, the global keeper rule
+    (row_number over (gram ORDER BY doc_id, pos)), covered-position
+    expansion and text rebuild as plain relational SQL."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", "text")
     )
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SUBSTR_BOILER)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    dupes = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    out = exact_substring_dedup(aug.unionByName(dupes), n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        "text",
+    ).orderBy("doc_id")
+
+
+#: shared boilerplate tail for q_substring_dedup (12 tokens > n=8)
+_SUBSTR_BOILER = (
+    "subscribe to our newsletter for updates and follow us on social media"
+)
+
+
+# The former lang_stats gate (per-lang count / mean / max / continuous
+# median) is folded into rollup_stats — same aggregates at the (lang,
+# source) rollup's lang level — freeing its registry slot for
+# substring_dedup under the driver's 50-query cap.
 
 
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -911,11 +941,18 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets rollup over (lang, source): subtotal rows NULL-filled —
-    the cube/rollup surface of the relational layer."""
+    the cube/rollup surface of the relational layer.  Carries the former
+    lang_stats gate's aggregates (max + exact continuous median) so that
+    fold loses no coverage."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.rollup("lang", "source")
-        .agg(F.count("*").alias("docs"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
+        )
         .orderBy(F.asc_nulls_first("lang"), F.asc_nulls_first("source"))
     )
 
@@ -1429,10 +1466,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     snapshot_time_travel and quality_rules gates; exact_dup_groups
     retired (its md5-fingerprint grouping law is stage 1 of
     training_prep_fuzzy's oracle, and exact_duplicates has direct pytest
-    coverage) to seat dsir_importance.  Newest / riskiest gates lead."""
+    coverage) to seat dsir_importance; lang_stats folded into
+    rollup_stats (same count/mean/max/continuous-median aggregates at
+    the rollup's lang level) to seat substring_dedup.  Newest / riskiest
+    gates lead."""
     return {
         "extract_roundtrip": q_extract_roundtrip,
         "extract_stats": q_extract_stats,
+        "substring_dedup": q_substring_dedup,
         "snapshot_time_travel": q_snapshot_time_travel,
         "media_features": q_media_features,
         "phash_dedup": q_phash_dedup,
@@ -1442,7 +1483,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "pricing_summary": q_pricing_summary,
         "training_prep_fuzzy": q_training_prep_fuzzy,
-        "lang_stats": q_lang_stats,
         "text_analysis": q_text_analysis,
         "dedup_clusters": q_dedup_clusters,
         "url_dedup": q_url_dedup,
@@ -1858,12 +1898,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS docs, 0::BIGINT AS errors
             FROM documents GROUP BY lang ORDER BY lang
         """,
-        "lang_stats": """
-            SELECT lang, count(*) AS docs,
-                   round(avg(n_chars), 4) AS avg_chars,
-                   max(n_chars) AS max_chars,
-                   round(quantile_cont(n_chars, 0.5), 4) AS median_chars
-            FROM documents GROUP BY lang ORDER BY lang
+        # substring_dedup: full relational replay of exact_substring_dedup
+        # (n=8, min_copies=2, keep='first') — positioned 8-grams via list
+        # slicing, duplicated-gram keeper = row_number 1 over (gram ORDER
+        # BY doc_id, pos), non-keeper occurrences expand to covered token
+        # positions, kept tokens re-join with single spaces; untouched
+        # docs pass text through verbatim.  Raw gram strings here vs
+        # xxhash64 keys in the operator: equality evidences collision
+        # absence.
+        "substring_dedup": f"""
+            WITH corpus AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || ' {_SUBSTR_BOILER}' ELSE text END AS text
+              FROM documents WHERE doc_id < 250
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text
+              FROM documents WHERE doc_id < 250 AND doc_id % 7 = 0),
+            base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM corpus),
+            gsrc AS (
+              SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+              FROM base WHERE len(toks) >= 8),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(toks[i:i+7], ' ') AS gram
+              FROM gsrc),
+            ranked AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY gram) AS cnt,
+                     row_number() OVER (PARTITION BY gram
+                                        ORDER BY doc_id, pos) AS rn
+              FROM grams),
+            cut AS (SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rn > 1),
+            toks AS (
+              SELECT doc_id, unnest(toks) AS word,
+                     generate_subscripts(toks, 1) - 1 AS pos
+              FROM base),
+            removed AS (
+              SELECT DISTINCT t.doc_id, t.pos
+              FROM toks t JOIN cut c
+                ON t.doc_id = c.doc_id
+               AND t.pos >= c.pos AND t.pos < c.pos + 8),
+            rm_stats AS (
+              SELECT doc_id, count(*) AS n_removed FROM removed GROUP BY doc_id),
+            rebuilt AS (
+              SELECT t.doc_id, string_agg(t.word, ' ' ORDER BY t.pos) AS text_clean
+              FROM toks t LEFT JOIN removed r
+                ON t.doc_id = r.doc_id AND t.pos = r.pos
+              WHERE r.doc_id IS NULL
+              GROUP BY t.doc_id)
+            SELECT b.doc_id,
+                   coalesce(len(b.toks), 0) AS n_tokens,
+                   coalesce(s.n_removed, 0) AS n_removed,
+                   CASE WHEN s.n_removed IS NULL THEN b.text
+                        ELSE coalesce(rb.text_clean, '') END AS text
+            FROM base b
+            LEFT JOIN rm_stats s USING (doc_id)
+            LEFT JOIN rebuilt rb USING (doc_id)
+            ORDER BY doc_id
         """,
         "text_analysis": f"""
             WITH base AS (
@@ -2490,7 +2586,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_stats": """
             SELECT lang, source, count(*) AS docs,
-                   round(avg(n_chars), 4) AS avg_chars
+                   round(avg(n_chars), 4) AS avg_chars,
+                   max(n_chars) AS max_chars,
+                   round(quantile_cont(n_chars, 0.5), 4) AS median_chars
             FROM documents GROUP BY ROLLUP (lang, source)
             ORDER BY lang NULLS FIRST, source NULLS FIRST
         """,

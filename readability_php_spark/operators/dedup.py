@@ -717,6 +717,145 @@ def duplicated_spans(
     )
 
 
+def exact_substring_dedup(
+    docs: DataFrame,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_copies: int = 2,
+    keep: str = "first",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Exact duplicated-substring REMOVAL (the ExactSubstr pass of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"
+    §4.1, as run by the RefinedWeb/FineWeb pipelines after document-level
+    dedup): every corpus-wide duplicated word ``n``-gram run is cut from
+    all but one copy.  ``duplicated_spans`` (above) *measures* this
+    signal; this operator performs the edit.
+
+    Semantics (token-level approximation of the suffix-array original): a
+    token position is removed iff some ``n``-gram occurrence covering it
+    (a) occurs ≥ ``min_copies`` times corpus-wide — within-document
+    repeats count, exactly as a suffix array sees them — and (b) is not
+    the gram's keeper occurrence.  ``keep="first"`` keeps the globally
+    smallest ``(doc_id, pos)`` occurrence per gram (deterministic: the
+    earliest document keeps its text); ``keep="none"`` cuts every copy
+    (C4-style boilerplate excision).  A duplicated region of length
+    L ≥ n is covered by its L−n+1 grams, so the whole region is cut
+    from non-keeper copies.
+
+    Returns one row per input doc: ``(id, n_tokens, n_removed, text)``.
+    Untouched docs (no cuts, fewer than ``n`` tokens, NULL text) pass
+    their text through VERBATIM; edited docs are rebuilt by joining the
+    surviving tokens with single spaces (original inter-token whitespace
+    is not recoverable from the token relation — the same normalization
+    ``chunk_documents`` documents).  Tokenization is case-SENSITIVE
+    whitespace splitting: exact-substring dedup is exact.
+
+    Scale shape: the positioned-gram relation is O(corpus tokens) — the
+    same order as the suffix array the reference algorithm builds — keyed
+    by 8-byte ``xxhash64`` gram hashes (``hash_grams=False`` keeps raw
+    strings; a 64-bit collision could merge two gram groups and over-cut
+    one occurrence — the DuckDB oracle joins raw grams, so gate equality
+    evidences collision absence).  Three O(tokens) hash shuffles: gram
+    stats (count + min-struct keeper, map-side combined), cut-start
+    collection per doc, and the starts→docs join.  The per-doc edit is
+    pure array algebra: sorted cut starts fold into DISJOINT merged
+    spans (adjacent/overlapping [q, q+n) intervals coalesce), then one
+    ``filter`` pass masks tokens via ``exists`` over the merged spans —
+    O(tokens × disjoint_dup_regions) per doc, linear for the common
+    fully-duplicated / few-regions cases.  Nothing all-pairs, nothing
+    driver-side."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if n < 1 or min_copies < 2:
+        raise ValueError("need n >= 1 and min_copies >= 2")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        toks.alias("toks"),
+    )
+    eligible = base.filter(F.size("toks") >= n).select("id", "toks")
+    gram_at = lambda i: F.array_join(F.slice(F.col("toks"), i, n), " ")
+    occ = eligible.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)), gram_at
+            )
+        ).alias("pos", "gram"),
+    ).select(
+        "id",
+        "pos",
+        (F.xxhash64("gram") if hash_grams else F.col("gram")).alias("gk"),
+    )
+    gstats = occ.groupBy("gk").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct("id", "pos")).alias("keeper"),
+    )
+    cut = occ.join(
+        gstats.filter(F.col("cnt") >= min_copies).select("gk", "keeper"), "gk"
+    )
+    if keep == "first":
+        cut = cut.filter(F.struct("id", "pos") != F.col("keeper"))
+    starts = cut.groupBy("id").agg(
+        F.sort_array(F.collect_set("pos")).alias("starts")
+    )
+    # sorted starts → disjoint spans: q overlapping/touching the open span
+    # extends it (q ≤ last.e ⇒ new end q+n ≥ last.e since starts ascend)
+    empty_spans = F.array().cast("array<struct<s:int,e:int>>")
+    span_of = lambda q: F.array(
+        F.struct(q.alias("s"), (q + F.lit(n)).cast("int").alias("e"))
+    )
+    spans = F.aggregate(
+        F.col("starts"),
+        empty_spans,
+        lambda acc, q: F.when(
+            (F.size(acc) > 0) & (q <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        (q + F.lit(n)).cast("int").alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, span_of(q))),
+    )
+    joined = base.join(starts, "id", "left").select(
+        "id", "text", "toks", spans.alias("spans")
+    )
+    # materialize the masked-token array in its own projection so the
+    # span-exists filter runs once per row, not once per consumer column
+    kept_step = joined.select(
+        "id",
+        "text",
+        "toks",
+        "spans",
+        F.filter(
+            F.col("toks"),
+            lambda x, i: ~F.exists(
+                F.col("spans"), lambda sp: (sp["s"] <= i) & (i < sp["e"])
+            ),
+        ).alias("kept"),
+    )
+    n_tokens = F.coalesce(F.size("toks"), F.lit(0))
+    return kept_step.select(
+        F.col("id").alias(id_col),
+        F.when(n_tokens > 0, n_tokens).otherwise(F.lit(0)).alias("n_tokens"),
+        F.when(
+            F.col("spans").isNull(), F.lit(0)
+        ).otherwise(n_tokens - F.size("kept")).alias("n_removed"),
+        F.when(F.col("spans").isNull(), F.col("text"))
+        .otherwise(F.array_join("kept", " "))
+        .alias("text"),
+    )
+
+
 def incremental_fuzzy_dedup(
     new_docs: DataFrame,
     corpus_docs: DataFrame,

@@ -2051,6 +2051,104 @@ def test_pagerank_matches_python_reference(spark):
         assert abs(got[v] - ranks[v]) <= 2e-6, v
 
 
+def _ref_exact_substring_dedup(rows, n, min_copies=2, keep="first"):
+    """Pure-Python reference: flat gram groups, explicit covered-position
+    sets — no interval merging, no keeper-struct tricks."""
+    toks = {i: (t.split() if t else []) for i, t in rows}
+    groups: dict = {}
+    for i, tk in toks.items():
+        for p in range(len(tk) - n + 1):
+            groups.setdefault(" ".join(tk[p:p + n]), []).append((i, p))
+    covered: dict = {i: set() for i, _ in rows}
+    for occs in groups.values():
+        if len(occs) >= min_copies:
+            cuts = sorted(occs)[1:] if keep == "first" else sorted(occs)
+            for i, p in cuts:
+                covered[i].update(range(p, p + n))
+    out = {}
+    for i, t in rows:
+        tk, cov = toks[i], covered[i]
+        if cov:
+            text = " ".join(w for j, w in enumerate(tk) if j not in cov)
+        else:
+            text = t  # untouched docs pass through verbatim
+        out[i] = (len(tk), len(cov), text)
+    return out
+
+
+def test_exact_substring_dedup_crafted(spark):
+    from readability_php_spark.operators.dedup import exact_substring_dedup
+
+    run = " ".join(f"s{i}" for i in range(7))  # 7-token shared run
+    rows = [
+        (1, f"alpha beta {run} gamma"),          # earliest copy: kept
+        (2, f"x y z {run} q r"),                 # later copy: run cut
+        (3, "unrelated words only here"),        # untouched, verbatim
+        (4, "tiny"),                             # < n tokens
+        (5, None),                               # NULL text
+        (6, f"lead {run} mid {run} tail"),       # within-doc repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text)
+        for r in exact_substring_dedup(df, n=5).collect()
+    }
+    want = _ref_exact_substring_dedup(rows, n=5)
+    want[5] = (0, 0, None)
+    assert got == want
+    # doc 1 is the keeper for the shared grams: text survives verbatim
+    assert got[1] == (10, 0, rows[0][1])
+    # doc 2 lost exactly the run
+    assert got[2][2] == "x y z q r" and got[2][1] == 7
+    # doc 6 is not the keeper (doc 1 is): BOTH copies cut
+    assert got[6] == (17, 14, "lead mid tail")
+
+
+def test_exact_substring_dedup_keep_none(spark):
+    from readability_php_spark.operators.dedup import exact_substring_dedup
+
+    run = " ".join(f"t{i}" for i in range(6))
+    rows = [(1, f"a b {run} c"), (2, f"d {run} e f"), (3, "clean doc here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text)
+        for r in exact_substring_dedup(df, n=6, keep="none").collect()
+    }
+    assert got == _ref_exact_substring_dedup(rows, n=6, keep="none")
+    assert got[1] == (9, 6, "a b c") and got[2] == (9, 6, "d e f")
+
+
+def test_exact_substring_dedup_matches_reference_random(spark):
+    """Differential test on a seeded corpus with planted shared fragments:
+    overlapping duplicated regions, partial keeper splits, whole-doc
+    dupes — every doc must match the flat pure-Python semantics."""
+    import random
+
+    from readability_php_spark.operators.dedup import exact_substring_dedup
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(40)]
+    fragments = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(4, 9)))
+        for _ in range(6)
+    ]
+    rows = []
+    for i in range(50):
+        parts = [rng.choice(vocab) for _ in range(rng.randrange(0, 8))]
+        for _ in range(rng.randrange(0, 3)):
+            parts.append(rng.choice(fragments))
+            parts.extend(rng.choice(vocab) for _ in range(rng.randrange(0, 4)))
+        rows.append((i, " ".join(parts)))
+    rows.append((50, rows[0][1]))  # exact whole-doc duplicate
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (3, 4):
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.text)
+            for r in exact_substring_dedup(df, n=n).collect()
+        }
+        assert got == _ref_exact_substring_dedup(rows, n=n), n
+
+
 def test_duplicated_spans_matches_python_reference(spark):
     import random
 
