@@ -50,6 +50,14 @@ def main() -> None:
                     help="apply the C4 line-level cleanup + doc flags")
     ap.add_argument("--gopher-rules", action="store_true",
                     help="apply the Gopher doc-level quality rule set")
+    ap.add_argument("--substring-n", type=int, default=None,
+                    help="enable exact duplicated-substring removal (Lee "
+                         "et al. ExactSubstr): cut corpus-wide duplicated "
+                         "N-token runs from all but one copy")
+    ap.add_argument("--substring-keep", default="first",
+                    choices=("first", "none"),
+                    help="'first' keeps the earliest copy of each "
+                         "duplicated run; 'none' cuts every copy")
     ap.add_argument("--dsir-target", default=None,
                     help="parquet of exemplar target docs (text column); "
                          "enables DSIR importance selection")
@@ -96,6 +104,8 @@ def main() -> None:
         fuzzy_threshold=args.fuzzy_threshold,
         c4_rules=args.c4_rules,
         gopher_rules=args.gopher_rules,
+        substring_n=args.substring_n,
+        substring_keep=args.substring_keep,
         quality_labels=labels,
         dsir_target=(
             spark.read.parquet(args.dsir_target).select("text")

@@ -12,6 +12,8 @@ entirely from this repo's operators:
       └─ fuzzy_dedup               # MinHash-LSH → Jaccard verify →
       │                            #   connected components → keep-min-url
       └─ line_dedup                # cross-corpus boilerplate lines
+      └─ c4/gopher rules (opt)     # published heuristic filter sets
+      └─ substring dedup (opt)     # Lee et al. ExactSubstr span removal
       └─ quality + length filters  # token count / quality score
       └─ score_logreg (optional)   # model-based filter: pre-trained
       │                            #   classifier over hashed-TF features
@@ -90,6 +92,9 @@ def run_training_prep(
     quality_lr: float = 1.0,
     c4_rules: bool = False,
     gopher_rules: bool = False,
+    substring_n: Optional[int] = None,
+    substring_min_copies: int = 2,
+    substring_keep: str = "first",
     dsir_target: Optional[DataFrame] = None,
     dsir_budget: Optional[int] = None,
     dsir_buckets: int = 65536,
@@ -133,6 +138,16 @@ def run_training_prep(
     Both are shuffle-free projections
     (:func:`~readability_php_spark.operators.text_analysis.c4_quality_rules`
     / ``gopher_quality_rules``).
+
+    ``substring_n`` enables exact duplicated-substring REMOVAL (Lee et
+    al. 2022 ExactSubstr,
+    :func:`~readability_php_spark.operators.dedup.exact_substring_dedup`):
+    corpus-wide duplicated ``substring_n``-token runs are cut from all
+    but one copy (``substring_keep="none"`` cuts every copy).  Runs
+    after the line-level rules — RefinedWeb's ordering — and before the
+    token filter, so token counts reflect the post-edit text.  Edited
+    docs are rebuilt with single-space joins (line structure collapses —
+    the chunking caveat); untouched docs ship verbatim.
 
     ``dsir_target`` + ``dsir_budget`` enable DSIR data selection (Xie et
     al. 2023, :mod:`~readability_php_spark.operators.importance`): after
@@ -328,6 +343,25 @@ def run_training_prep(
         g = gopher_quality_rules(filtered, text_col="text", id_col="url")
         filtered = filtered.join(
             g.filter("keep").select("url"), "url", "left_semi"
+        )
+    if substring_n is not None:
+        from ..operators.dedup import exact_substring_dedup
+
+        # after the line rules (their line structure is intact), before
+        # the token filter (counts must see the post-edit text); a doc
+        # cut below min_tokens falls out at the filter like any other
+        sub = exact_substring_dedup(
+            filtered,
+            n=substring_n,
+            text_col="text",
+            id_col="url",
+            min_copies=substring_min_copies,
+            keep=substring_keep,
+        )
+        filtered = (
+            filtered.select("url", "lang")
+            .join(sub.select("url", "text"), "url")
+            .select("url", "lang", "text")
         )
 
     with_tokens = filtered.select(

@@ -2746,6 +2746,47 @@ def test_training_prep_quality_rule_stages(spark, tmp_path):
     assert dropped.docs_final == 0
 
 
+def test_training_prep_substring_stage(spark, tmp_path):
+    """substring_n wired into the prep pipeline: two pages share a
+    15-token boilerplate run embedded in otherwise-distinct paragraphs
+    (distinct full lines, so line_dedup can't touch it).  The
+    url-lexicographically-earlier doc keeps the run; the later doc loses
+    exactly that run; the unrelated doc ships verbatim."""
+    from readability_php_spark.plans.training_pipeline import run_training_prep
+
+    boiler = " ".join(f"boiler{i}" for i in range(15))
+
+    def page(prefix, body):
+        return (
+            "<html><head><title>t</title></head><body>"
+            f"<p>{body}</p>"
+            f"<p>{prefix} closing paragraph with enough extra words to "
+            "keep the extractor comfortable about this page</p>"
+            "</body></html>"
+        )
+
+    rows = [
+        ("http://t.test/a", page("alpha", f"alpha opening words {boiler} alpha tail")),
+        ("http://t.test/b", page("bravo", f"bravo different start {boiler} bravo end")),
+        ("http://t.test/c", page("carol", "carol has entirely original content only")),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    res = run_training_prep(
+        spark, pages, str(tmp_path / "out"),
+        min_tokens=5, pack_budget=500, fuzzy=False, substring_n=10,
+    )
+    assert res.docs_final == 3
+    out = {
+        r.parent_url: r.text
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert boiler in out["http://t.test/a"]          # keeper copy intact
+    assert "boiler0" not in out["http://t.test/b"]   # run excised
+    assert "bravo different start" in out["http://t.test/b"]
+    assert "bravo end" in out["http://t.test/b"]
+    assert "carol has entirely original content" in out["http://t.test/c"]
+
+
 # --- perceptual-hash image dedup (operators/image_dedup.py) -----------------
 
 def _phash_triple(seed, w, h):
