@@ -478,6 +478,33 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(both, threshold=0.99, bits=4).orderBy("id_a", "id_b")
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over a corpus with synthetic exact
+    copies (each vector re-emitted at vec_id+10000 and vec_id+20000):
+    every source must form a ≥3-member semantic cluster whose keeper is
+    the lowest-centroid_sim member (id tie-break picks the original when
+    copies are exact).  Full relational replay: unrolled-Lloyd cells,
+    within-cell round-4 cosine pairs, recursive-CTE transitive closure,
+    keeper window."""
+    from readability_php_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id") < 100)
+    both = emb
+    for off in (10_000, 20_000):
+        both = both.unionByName(
+            emb.select((F.col("vec_id") + off).alias("vec_id"), "embedding")
+        )
+    res = semdedup(both, threshold=0.95, n_centroids=8)
+    return res.select(
+        "vec_id",
+        "sem_cluster",
+        "centroid_sim",
+        F.col("is_keeper").cast("int").alias("is_keeper"),
+    ).orderBy("vec_id")
+
+
 def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data pipeline: quality/lang/token filters + exact
     dedup — the one-liner a corpus curator runs before tokenization."""
@@ -830,31 +857,15 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window chunking (64-token windows, stride 48 → 16-token
-    overlap); chunk text surfaces as md5 so the hash compare covers exact
-    window boundaries without shipping the text."""
-    from readability_php_spark.operators.packing import chunk_documents
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
-        F.col("doc_id") < 200
-    )
-    ch = chunk_documents(docs, max_tokens=64, stride=48)
-    return ch.select(
-        "doc_id",
-        F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
-        F.md5("chunk_text").alias("chunk_md5"),
-    ).orderBy("doc_id", "chunk_id")
-
-
 def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The chunk→pack composition run_training_prep offers ("chunk down,
     then pack up"): 64-token windows at stride 48, then deterministic
     prefix-sum packing of the CHUNKS into 256-token sequences per lang.
     The unit key is doc_id*1000+chunk_id — numeric, dense, and replayable
     in the oracle, which chains the chunk CTE into the three-line packing
-    law."""
+    law.  chunk_md5 (md5 of each window's text) rides along so this one
+    gate also pins exact window CONTENTS — it subsumes the retired
+    chunk_documents gate, whose oracle was this one's chunk CTE."""
     from readability_php_spark.operators.packing import chunk_documents, pack_documents
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -867,14 +878,18 @@ def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("unit_id"),
         F.col("n_chunk_tokens").alias("n_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
     )
-    return pack_documents(
-        units, budget=256, group_cols=("lang",), order_col="unit_id",
+    packed = pack_documents(
+        units.select("lang", "unit_id", "n_tokens"),
+        budget=256, group_cols=("lang",), order_col="unit_id",
         tokens_col="n_tokens",
-    ).select(
+    )
+    return packed.join(units.select("unit_id", "chunk_md5"), "unit_id").select(
         "lang",
         F.col("unit_id").cast("long").alias("unit_id"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
+        "chunk_md5",
         "pack_id",
         "oversize",
     ).orderBy("lang", "unit_id")
@@ -1468,8 +1483,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     training_prep_fuzzy's oracle, and exact_duplicates has direct pytest
     coverage) to seat dsir_importance; lang_stats folded into
     rollup_stats (same count/mean/max/continuous-median aggregates at
-    the rollup's lang level) to seat substring_dedup.  Newest / riskiest
-    gates lead."""
+    the rollup's lang level) to seat substring_dedup; chunk_documents
+    folded into chunk_pack (the pack gate's oracle already chained the
+    chunk CTE — chunk_md5 now rides through it, so window contents stay
+    pinned) to seat semdedup.  Newest / riskiest gates lead."""
     return {
         "extract_roundtrip": q_extract_roundtrip,
         "extract_stats": q_extract_stats,
@@ -1505,7 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_pagerank": q_outlink_pagerank,
         "duplicated_spans": q_duplicated_spans,
         "anchor_texts": q_anchor_texts,
-        "chunk_documents": q_chunk_documents,
+        "semdedup": q_semdedup,
         "perplexity_buckets": q_perplexity_buckets,
         "wav_features": q_wav_features,
         "quality_classifier": q_quality_classifier,
@@ -1550,29 +1567,27 @@ def _shingle_sql(src: str = "text") -> str:
     return _ngram_sql(3, src)
 
 
-def _ivf_sql(
-    k_cent: int = 8,
-    iters: int = 3,
-    n_probe: int = 2,
-    topk: int = 10,
-    query_ids: tuple = (0, 1, 2),
-) -> str:
-    """DuckDB twin of operators/similarity.py::ivf_topk — Lloyd's k-means
-    unrolled to ``iters`` fixed iterations (the Spark side is deterministic:
-    init = k lowest-id vectors, per-iteration means rounded to 6 decimals,
-    argmin ties to the lower cid), then the 1-cell corpus assignment ×
-    ``n_probe``-cell query probe join, exactly mirroring the Spark plan."""
-    d2 = (
-        "list_sum(list_transform(range(1, len(e.embedding) + 1), "
-        "i -> (e.embedding[i]::DOUBLE - c.cvec[i]) "
-        "* (e.embedding[i]::DOUBLE - c.cvec[i])))"
-    )
-    ids = ", ".join(str(i) for i in query_ids)
+#: squared-L2 between an embedding row aliased ``e`` and a centroid row
+#: aliased ``c`` — the assignment metric every unrolled-Lloyd CTE uses.
+_KMEANS_D2_SQL = (
+    "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+    "i -> (e.embedding[i]::DOUBLE - c.cvec[i]) "
+    "* (e.embedding[i]::DOUBLE - c.cvec[i])))"
+)
+
+
+def _kmeans_ctes(k_cent: int, iters: int, src: str = "embeddings") -> tuple:
+    """Shared unrolled-Lloyd CTE chain — the DuckDB twin of
+    operators/similarity.py::kmeans_centroids (init = k lowest-id vectors,
+    per-iteration means rounded to 6 decimals, argmin ties to the lower
+    cid).  ``src`` is the (vec_id, embedding) relation to train on.
+    Returns (cte_list, final_centroid_cte_name)."""
+    d2 = _KMEANS_D2_SQL
     ctes = [f"""
             c0 AS (
               SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
                      list_transform(embedding, x -> x::DOUBLE) AS cvec
-              FROM (SELECT vec_id, embedding FROM embeddings
+              FROM (SELECT vec_id, embedding FROM {src}
                     ORDER BY vec_id LIMIT {k_cent}))"""]
     for it in range(1, iters + 1):
         prev = f"c{it - 1}"
@@ -1582,7 +1597,7 @@ def _ivf_sql(
                 SELECT e.vec_id, e.embedding, c.cid,
                        row_number() OVER (PARTITION BY e.vec_id
                                           ORDER BY {d2}, c.cid) AS rn
-                FROM embeddings e CROSS JOIN {prev} c)
+                FROM {src} e CROSS JOIN {prev} c)
               WHERE rn = 1),
             m{it} AS (
               SELECT cid, list(m ORDER BY d) AS cvec FROM (
@@ -1596,7 +1611,23 @@ def _ivf_sql(
             c{it} AS (
               SELECT p.cid, coalesce(m.cvec, p.cvec) AS cvec
               FROM {prev} p LEFT JOIN m{it} m USING (cid))""")
-    final = f"c{iters}"
+    return ctes, f"c{iters}"
+
+
+def _ivf_sql(
+    k_cent: int = 8,
+    iters: int = 3,
+    n_probe: int = 2,
+    topk: int = 10,
+    query_ids: tuple = (0, 1, 2),
+) -> str:
+    """DuckDB twin of operators/similarity.py::ivf_topk — Lloyd's k-means
+    unrolled to ``iters`` fixed iterations (see ``_kmeans_ctes``), then the
+    1-cell corpus assignment × ``n_probe``-cell query probe join, exactly
+    mirroring the Spark plan."""
+    d2 = _KMEANS_D2_SQL
+    ids = ", ".join(str(i) for i in query_ids)
+    ctes, final = _kmeans_ctes(k_cent, iters)
     ctes.append(f"""
             corpus AS (
               SELECT vec_id, embedding, cid FROM (
@@ -1628,6 +1659,77 @@ def _ivf_sql(
         + f"""
             SELECT query_id, neighbor_id, cos_sim, rank::INT AS rank
             FROM ranked WHERE rank <= {topk} ORDER BY query_id, rank"""
+    )
+
+
+def _semdedup_sql(
+    k_cent: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+    max_id: int = 100,
+    dup_offsets: tuple = (10_000, 20_000),
+) -> str:
+    """DuckDB twin of operators/similarity.py::semdedup over a corpus
+    deterministically augmented with exact copies (every vec_id < max_id
+    re-emitted at vec_id + offset — cosine 1.0 with its source, so each
+    source spawns a known |offsets|+1-member duplicate group).  Replays
+    the full chain relationally: unrolled-Lloyd cells (``_kmeans_ctes``),
+    within-cell round-4 cosine pairs at ≥ threshold, transitive closure
+    via the recursive min-label CTE (the dedup_clusters pattern), then
+    the paper's keeper rule — lowest centroid_sim (farthest from the
+    prototype) per group, id tie-break."""
+    union = "\n              UNION ALL\n".join(
+        [f"              SELECT vec_id, embedding FROM embeddings "
+         f"WHERE vec_id < {max_id}"]
+        + [f"              SELECT vec_id + {off}, embedding FROM embeddings "
+           f"WHERE vec_id < {max_id}" for off in dup_offsets]
+    )
+    ctes = [f"""
+            emb AS (
+{union})"""]
+    km, final = _kmeans_ctes(k_cent, iters, src="emb")
+    ctes.extend(km)
+    ctes.append(f"""
+            asn AS (
+              SELECT vec_id, embedding, cid, centroid_sim FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       round(list_cosine_similarity(
+                         list_transform(e.embedding, x -> x::DOUBLE),
+                         c.cvec), 4) AS centroid_sim,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_KMEANS_D2_SQL}, c.cid) AS rn
+                FROM emb e CROSS JOIN {final} c)
+              WHERE rn = 1),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM asn a JOIN asn b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                    >= {threshold}),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(node, label) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node),
+            cc AS (
+              SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+            members AS (
+              SELECT asn.vec_id,
+                     coalesce(cc.cluster_id, asn.vec_id) AS sem_cluster,
+                     asn.centroid_sim
+              FROM asn LEFT JOIN cc ON cc.node = asn.vec_id)"""
+    )
+    return (
+        "WITH RECURSIVE" + ",".join(ctes)
+        + """
+            SELECT vec_id, sem_cluster, centroid_sim,
+                   (row_number() OVER (PARTITION BY sem_cluster
+                      ORDER BY centroid_sim ASC, vec_id ASC) = 1)::INT
+                     AS is_keeper
+            FROM members ORDER BY vec_id"""
     )
 
 
@@ -2473,27 +2575,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # chunk_documents: stride-overlapped token windows; list_slice's
         # inclusive 1-based [s+1, s+64] == Spark slice(a, s+1, 64)
-        "chunk_documents": """
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(trim(text), '\\s+'),
-                                 x -> x <> '') AS a
-              FROM documents WHERE doc_id < 200),
-            st AS (
-              SELECT doc_id, a, unnest(range(0, len(a), 48)) AS s
-              FROM toks WHERE len(a) > 0),
-            -- drop trailing starts whose window is a strict suffix of the
-            -- previous one (mirror of chunk_documents' start filter)
-            st2 AS (
-              SELECT * FROM st WHERE s = 0 OR s + (64 - 48) < len(a)),
-            ch AS (
-              SELECT doc_id, (s // 48)::BIGINT AS chunk_id,
-                     list_slice(a, s + 1, s + 64) AS ctoks
-              FROM st2)
-            SELECT doc_id, chunk_id, len(ctoks)::BIGINT AS n_chunk_tokens,
-                   md5(array_to_string(ctoks, ' ')) AS chunk_md5
-            FROM ch ORDER BY doc_id, chunk_id
-        """,
+        # semdedup: full relational replay — unrolled-Lloyd cells, within-
+        # cell round-4 cosine pairs, recursive-CTE transitive closure,
+        # farthest-from-centroid keeper (Abbas et al. 2023 rule)
+        "semdedup": _semdedup_sql(
+            k_cent=8, iters=3, threshold=0.95, max_id=100,
+            dup_offsets=(10_000, 20_000),
+        ),
         "quality_classifier": _logreg_sql(
             dim=16, iterations=3, lr=1.0, label_thresh=56, max_id=300
         ),
@@ -2627,14 +2715,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT * FROM st WHERE s = 0 OR s + (64 - 48) < len(a)),
             u AS (
               SELECT lang, doc_id * 1000 + (s // 48) AS unit_id,
-                     len(list_slice(a, s + 1, s + 64)) AS n_tokens
+                     len(list_slice(a, s + 1, s + 64)) AS n_tokens,
+                     md5(array_to_string(list_slice(a, s + 1, s + 64), ' '))
+                       AS chunk_md5
               FROM st2),
             p AS (
-              SELECT lang, unit_id, n_tokens,
+              SELECT lang, unit_id, n_tokens, chunk_md5,
                      sum(n_tokens) OVER (PARTITION BY lang ORDER BY unit_id
                                          ROWS UNBOUNDED PRECEDING) - n_tokens AS prefix
               FROM u)
             SELECT lang, unit_id::BIGINT AS unit_id, n_tokens::BIGINT AS n_tokens,
+                   chunk_md5,
                    (prefix // 256)::BIGINT AS pack_id,
                    n_tokens > 256 AS oversize
             FROM p ORDER BY lang, unit_id
