@@ -973,23 +973,27 @@ def q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic content-keyed train/val/test split (md5-threshold —
-    stable across reruns/cluster sizes, reproducible outside Spark)."""
-    from readability_php_spark.operators.sampling import hash_split
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training + encode (Sennrich et al.
+    2016): 12 merges learned on the distinct-words relation of the
+    corpus, then every doc's token count under the trained vocab.  The
+    oracle unrolls the full training loop relationally (pair-count
+    argmax per iteration; greedy non-overlapping merge application via
+    the gaps-and-islands position-parity law — equivalent to the Spark
+    fold), so a divergence in ANY merge decision or application shifts
+    some word's token count.  min_pair_count=1 pins exactly 12
+    iterations, matching the fixed unroll."""
+    from readability_php_spark.operators.bpe import bpe_token_counts, bpe_train
 
     docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 150)
+    _, enc = bpe_train(docs, merges=12, min_pair_count=1)
+    return bpe_token_counts(docs, enc).select(
         "doc_id",
-        F.concat(
-            F.lit("http://synth.test/doc/"),
-            F.col("doc_id").cast("string"),
-            F.lit(".html"),
-        ).alias("url"),
-    )
-    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
-                     key_col="url", seed=42)
-    return out.select("doc_id", "split").orderBy("doc_id")
-
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
 
 
 def q_pack_documents_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1486,7 +1490,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the rollup's lang level) to seat substring_dedup; chunk_documents
     folded into chunk_pack (the pack gate's oracle already chained the
     chunk CTE — chunk_md5 now rides through it, so window contents stay
-    pinned) to seat semdedup.  Newest / riskiest gates lead."""
+    pinned) to seat semdedup; hash_split retired (its md5-prefix →
+    uint32 threshold law is replayed verbatim in the stratified_sample
+    and lang_temperature_sample oracles, plus direct pytest) to seat
+    bpe_tokenize.  Newest / riskiest gates lead."""
     return {
         "extract_roundtrip": q_extract_roundtrip,
         "extract_stats": q_extract_stats,
@@ -1527,7 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_features": q_wav_features,
         "quality_classifier": q_quality_classifier,
         "rollup_stats": q_rollup_stats,
-        "hash_split": q_hash_split,
+        "bpe_tokenize": q_bpe_tokenize,
         "pack_documents_bucketed": q_pack_documents_bucketed,
         "scrub_pii": q_scrub_pii,
         "line_dedup": q_line_dedup,
@@ -1730,6 +1737,91 @@ def _semdedup_sql(
                       ORDER BY centroid_sim ASC, vec_id ASC) = 1)::INT
                      AS is_keeper
             FROM members ORDER BY vec_id"""
+    )
+
+
+def _bpe_sql(iters: int = 12, max_id: int = 150) -> str:
+    """DuckDB twin of operators/bpe.py::bpe_train + bpe_token_counts —
+    the full BPE training loop unrolled to ``iters`` fixed merges (the
+    logreg/pagerank/k-means oracle pattern).  Per iteration: pair counts
+    over the vocabulary, the (count desc, pair asc) one-row argmax, then
+    greedy non-overlapping merge application expressed relationally via
+    gaps-and-islands position parity — within each maximal run of
+    consecutive matching positions, odd-ranked positions merge and the
+    position after a merge is consumed.  For left ≠ right, runs are
+    singletons (consecutive matches would force left = right), so every
+    match merges — together exactly the Spark fold's greedy scan.
+
+    Every per-iteration vocabulary CTE is AS MATERIALIZED: DuckDB
+    inlines CTEs by default, and w{i} is referenced twice per following
+    iteration (pair counts + position expansion), so an inlined chain
+    re-evaluates w0's tree 2^iters times."""
+    ctes = [f"""
+            wc AS (
+              SELECT word, count(*) AS cnt FROM (
+                SELECT unnest(list_filter(
+                         string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '')) AS word
+                FROM documents WHERE doc_id < {max_id})
+              GROUP BY word),
+            w0 AS MATERIALIZED (
+              SELECT word, cnt,
+                     list_append(list_transform(range(1, length(word) + 1),
+                                                i -> substring(word, i, 1)),
+                                 '</w>') AS syms
+              FROM wc)"""]
+    for i in range(1, iters + 1):
+        prev = f"w{i - 1}"
+        ctes.append(f"""
+            p{i} AS (
+              SELECT syms[j] AS l, syms[j + 1] AS r, sum(cnt) AS n
+              FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS j
+                    FROM {prev})
+              GROUP BY 1, 2),
+            b{i} AS (SELECT l, r FROM p{i} ORDER BY n DESC, l ASC, r ASC
+                     LIMIT 1),
+            q{i} AS (
+              SELECT w.word, w.cnt, w.syms, w.j, b.l AS ml, b.r AS mr,
+                     (w.j < len(w.syms) AND w.syms[w.j] = b.l
+                      AND w.syms[w.j + 1] = b.r) AS mtch
+              FROM (SELECT word, cnt, syms,
+                           unnest(range(1, len(syms) + 1)) AS j
+                    FROM {prev}) w
+              CROSS JOIN b{i} b),
+            s{i} AS (
+              SELECT *, CASE WHEN mtch THEN
+                       (row_number() OVER (PARTITION BY word, grp
+                                           ORDER BY j)) % 2 = 1
+                     ELSE FALSE END AS picked
+              FROM (SELECT *, CASE WHEN mtch THEN
+                             j - row_number() OVER (PARTITION BY word, mtch
+                                                    ORDER BY j) END AS grp
+                    FROM q{i})),
+            w{i} AS MATERIALIZED (
+              SELECT word, any_value(cnt) AS cnt,
+                     list(CASE WHEN picked THEN ml || mr ELSE syms[j] END
+                          ORDER BY j) AS syms
+              FROM (SELECT *, coalesce(lag(picked) OVER (PARTITION BY word
+                                                         ORDER BY j),
+                                       FALSE) AS consumed
+                    FROM s{i})
+              WHERE NOT consumed
+              GROUP BY word)""")
+    ctes.append(f"""
+            final AS (
+              SELECT word, len(syms) AS word_tokens FROM w{iters}),
+            dw AS (
+              SELECT doc_id, unnest(list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       x -> x <> '')) AS word
+              FROM documents WHERE doc_id < {max_id})""")
+    return (
+        "WITH" + ",".join(ctes)
+        + """
+            SELECT doc_id, count(*)::BIGINT AS n_words,
+                   sum(word_tokens)::BIGINT AS n_bpe_tokens
+            FROM dw JOIN final USING (word)
+            GROUP BY doc_id ORDER BY doc_id"""
     )
 
 
@@ -2680,25 +2772,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY ROLLUP (lang, source)
             ORDER BY lang NULLS FIRST, source NULLS FIRST
         """,
-        # hash_split: same md5-prefix → uint32 → integer-threshold math as
-        # operators/sampling.py (thresholds computed identically in Python)
-        "hash_split": f"""
-            WITH d AS (
-              SELECT doc_id,
-                     'http://synth.test/doc/' || doc_id || '.html#42' AS ks
-              FROM documents),
-            h AS (
-              SELECT doc_id,
-                     list_reduce(list_transform(range(1, 9),
-                       j -> (strpos('0123456789abcdef', substr(md5(ks), j, 1)) - 1)::BIGINT),
-                       (a, b) -> a * 16 + b) AS u
-              FROM d)
-            SELECT doc_id,
-                   CASE WHEN u < {int(0.8 * (1 << 32))} THEN 'train'
-                        WHEN u < {int(0.9 * (1 << 32))} THEN 'val'
-                        ELSE 'test' END AS split
-            FROM h ORDER BY doc_id
-        """,
+        # bpe_tokenize: the BPE training loop unrolled to 12 merges +
+        # relational greedy merge application (see _bpe_sql)
+        "bpe_tokenize": _bpe_sql(iters=12, max_id=150),
         # packing: same prefix-sum // budget as operators/packing.py
         # chunk→pack composition: the chunk CTE (with the suffix-window
         # filter) chained into the same prefix-sum // budget packing law

@@ -1,0 +1,193 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units") — the
+learn-the-tokenizer-from-the-corpus step of an LLM data pipeline.
+
+The classical algorithm counts symbol pairs over the corpus and greedily
+merges the most frequent pair; its key scale property is that it never
+needs the corpus after one pass — it trains on the **distinct-words
+relation** (word, count), whose size is the vocabulary, not the corpus
+(Heaps' law: ~10^6-10^7 rows at 100 TB vs ~10^13 tokens).  The Spark
+shape mirrors that exactly:
+
+- one corpus scan builds ``(word, cnt)`` (explode + map-side-combined
+  groupBy — the only corpus-sized shuffle);
+- each merge iteration is vocabulary-sized: adjacent-pair explode +
+  sum(cnt) agg (map-side combined), a ONE-row deterministic argmax
+  collect (``n`` desc, pair asc — binary string order in both engines),
+  and a pure column-algebra fold that rewrites every word's symbol
+  array in place (no shuffle);
+- ``localCheckpoint`` per iteration caps lineage exactly like the
+  pagerank/k-means loops.
+
+Greedy merge application (left-to-right, non-overlapping — the
+semantics of the reference implementation's ``re.sub`` scan) is a
+single ``F.aggregate`` fold: a created token is ``left+right`` and can
+never string-equal ``left``, so "tail == left and next == right" is
+exactly the resume-after-replacement rule, including the ``left ==
+right`` run case ("aaa" → "aa","a").
+
+Encoding a corpus with the trained tokenizer is a broadcast-shaped join
+of the corpus' words against the encoded vocabulary (``w_final``) — the
+vocabulary side is the small side at any corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Sennrich's end-of-word marker: appended as one terminal symbol so
+#: merges distinguish word-final from word-internal contexts.
+END_OF_WORD = "</w>"
+
+
+def _initial_symbols(word: Column, end_of_word: str = END_OF_WORD) -> Column:
+    """Character symbols + the terminal marker.  ``substring`` is
+    character-based (matching DuckDB's), so non-ASCII BMP text splits
+    identically cross-engine."""
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    return F.concat(chars, F.array(F.lit(end_of_word)))
+
+
+def apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right application of ONE merge to a symbol array —
+    the fold equivalent of the reference's non-overlapping ``re.sub``
+    scan (see module docstring for why the tail test is exact)."""
+    merged = F.lit(left + right)
+    empty = F.array().cast("array<string>")
+
+    def step(acc: Column, s: Column) -> Column:
+        can = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right))
+        )
+        return F.when(
+            can,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(syms, empty, step)
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The (word, cnt) relation BPE trains on — whitespace words,
+    case-SENSITIVE (tokenizer training is exact; case folding is a
+    corpus-prep decision upstream, not the tokenizer's)."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    merges: int = 100,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    end_of_word: str = END_OF_WORD,
+) -> tuple[DataFrame, DataFrame]:
+    """Train ``merges`` BPE merges on the corpus.  Returns
+    ``(merge_table, encoded_vocab)``:
+
+    - ``merge_table``: ``(rank int, left string, right string,
+      pair_count bigint)`` — the learned merges in application order;
+    - ``encoded_vocab``: ``(word, cnt, syms array<string>)`` — every
+      distinct word already segmented by the full merge sequence (what
+      an encoder needs; ``len(syms)`` is the word's token count).
+
+    Stops early when the best remaining pair occurs fewer than
+    ``min_pair_count`` times (merging hapax pairs memorizes the corpus).
+    Determinism: the argmax orders by (count desc, left asc, right asc)
+    — total, so the trajectory is reproducible cross-run and replayable
+    relationally (the DuckDB gate unrolls this loop exactly like the
+    logreg/pagerank/k-means oracles)."""
+    if merges < 0:
+        raise ValueError("merges must be >= 0")
+    if min_pair_count < 1:
+        raise ValueError("min_pair_count must be >= 1")
+    w = (
+        word_counts(docs, text_col)
+        .select(
+            "word",
+            "cnt",
+            _initial_symbols(F.col("word"), end_of_word).alias("syms"),
+        )
+        .localCheckpoint()
+    )
+    spark = docs.sparkSession
+    merge_rows: list[tuple] = []
+    for rank in range(merges):
+        # filter BEFORE building pair structs: sequence(1, size-1) steps
+        # BACKWARDS for a fully-merged single-symbol word (Spark infers
+        # step -1 when start > stop) and element_at(syms, 0) is an error
+        pairs = w.filter(F.size("syms") > 1).select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(element_at(syms, i) AS l, "
+                    "element_at(syms, i + 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0].n < min_pair_count:
+            break
+        left, right, n = best[0].l, best[0].r, int(best[0].n)
+        merge_rows.append((rank, left, right, n))
+        w = w.select(
+            "word", "cnt", apply_merge(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint()
+    merge_table = spark.createDataFrame(
+        merge_rows, "rank int, left string, right string, pair_count bigint"
+    )
+    return merge_table, w
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    encoded_vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token counts under a trained tokenizer:
+    ``(id_col, n_words, n_bpe_tokens)``.  One corpus scan exploded to
+    words, joined against the (vocabulary-sized, broadcastable) encoded
+    vocab — the standard encode shape.  Words never seen at training
+    time fall back to their symbol count under zero merges (characters
+    + marker), the exact behaviour of an open-vocabulary BPE encoder
+    whose learned merges simply never fire."""
+    dw = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    vocab = encoded_vocab.select(
+        "word", F.size("syms").alias("word_tokens")
+    )
+    joined = dw.join(F.broadcast(vocab), "word", "left").select(
+        id_col,
+        F.coalesce(
+            F.col("word_tokens"), F.length("word") + F.lit(1)
+        ).alias("word_tokens"),
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.sum("word_tokens").alias("n_bpe_tokens"),
+    )

@@ -1,0 +1,163 @@
+"""Differential tests for operators/bpe.py: the distributed BPE trainer
+against a flat pure-Python Sennrich-style reference (explicit greedy
+left-to-right scan — the semantics the Spark fold must reproduce)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from readability_php_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_token_counts,
+    bpe_train,
+)
+
+
+def _ref_apply(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_bpe(word_counts, merges, min_pair_count=2, eow=END_OF_WORD):
+    vocab = {w: (list(w) + [eow], c) for w, c in word_counts.items()}
+    table = []
+    for rank in range(merges):
+        pairs = {}
+        for syms, c in vocab.values():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        table.append((rank, a, b, n))
+        vocab = {
+            w: (_ref_apply(syms, a, b), c) for w, (syms, c) in vocab.items()
+        }
+    return table, {w: syms for w, (syms, c) in vocab.items()}
+
+
+def _ref_word_counts(texts):
+    wc = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    return wc
+
+
+def _check(spark, texts, merges, min_pair_count=2):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    table, enc = bpe_train(
+        docs, merges=merges, min_pair_count=min_pair_count
+    )
+    got_table = [
+        (r.rank, r.left, r.right, r.pair_count) for r in table.collect()
+    ]
+    got_vocab = {r.word: list(r.syms) for r in enc.collect()}
+    exp_table, exp_vocab = _ref_bpe(
+        _ref_word_counts(texts), merges, min_pair_count
+    )
+    assert got_table == exp_table
+    assert got_vocab == exp_vocab
+    # encode: per-doc token counts under the trained vocab
+    got_counts = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_token_counts(docs, enc).collect()
+    }
+    exp_counts = {}
+    for i, t in enumerate(texts):
+        words = t.split()
+        if words:
+            exp_counts[i] = (
+                len(words),
+                sum(len(exp_vocab[w]) for w in words),
+            )
+    assert got_counts == exp_counts
+    return got_table
+
+
+def test_bpe_crafted_runs_and_overlaps(spark):
+    # 'aaaa' exercises the left==right greedy run rule; 'abab' the
+    # resume-after-merge rule; shared subwords force multi-step merges
+    texts = [
+        "aaaa aaaa aa abab abab",
+        "lower lowest low low lower",
+        "aaaa abab low",
+    ]
+    table = _check(spark, texts, merges=8, min_pair_count=2)
+    assert len(table) == 8
+    # first merge must be the most frequent pair, deterministically
+    assert table[0][0] == 0 and table[0][3] >= 2
+
+
+def test_bpe_single_char_words_and_empty_doc(spark):
+    # single-char words start at 2 symbols (char + marker); empty and
+    # whitespace-only docs contribute no words
+    texts = ["a a a b", "", "   ", "a b a"]
+    _check(spark, texts, merges=4, min_pair_count=2)
+
+
+def test_bpe_early_stop_on_min_pair_count(spark):
+    # all words distinct with distinct chars -> every pair is count 1;
+    # min_pair_count=2 must stop before any merge
+    texts = ["ab cd ef"]
+    docs = spark.createDataFrame([(0, texts[0])], "doc_id int, text string")
+    table, enc = bpe_train(docs, merges=5, min_pair_count=2)
+    assert table.count() == 0
+    assert {r.word: list(r.syms) for r in enc.collect()} == {
+        "ab": ["a", "b", END_OF_WORD],
+        "cd": ["c", "d", END_OF_WORD],
+        "ef": ["e", "f", END_OF_WORD],
+    }
+
+
+def test_bpe_seeded_random_corpus(spark):
+    rng = random.Random(42)
+    alphabet = "abcdef"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+        for _ in range(40)
+    ]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(3, 25)))
+        for _ in range(30)
+    ]
+    _check(spark, texts, merges=15, min_pair_count=1)
+
+
+def test_bpe_token_counts_unseen_word_fallback(spark):
+    train = spark.createDataFrame(
+        [(0, "hello hello world")], "doc_id int, text string"
+    )
+    _, enc = bpe_train(train, merges=3, min_pair_count=1)
+    score = spark.createDataFrame(
+        [(7, "hello zzz")], "doc_id int, text string"
+    )
+    row = bpe_token_counts(score, enc).collect()[0]
+    # unseen 'zzz' falls back to chars + marker = 4 tokens
+    hello_tokens = next(
+        len(r.syms) for r in enc.collect() if r.word == "hello"
+    )
+    assert row.n_words == 2
+    assert row.n_bpe_tokens == hello_tokens + 4
+
+
+def test_bpe_rejects_bad_params(spark):
+    docs = spark.createDataFrame([(0, "x y")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        bpe_train(docs, merges=-1)
+    with pytest.raises(ValueError):
+        bpe_train(docs, merges=1, min_pair_count=0)
