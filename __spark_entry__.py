@@ -988,6 +988,11 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     ).filter(F.col("doc_id") < 150)
+    # merge_table omitted deliberately: scoring the training corpus has
+    # no OOV words, so the fallback path IS the true encode here, and
+    # skipping the (empty) OOV anti-join + fold chain keeps the gate
+    # ~10 s lighter; the OOV encode path is differential-tested in
+    # tests/test_bpe.py (test_bpe_token_counts_oov_applies_merges)
     _, enc = bpe_train(docs, merges=12, min_pair_count=1)
     return bpe_token_counts(docs, enc).select(
         "doc_id",

@@ -73,10 +73,14 @@ def bloom_positions(key: Column, m_bits: int, k: int) -> Column:
     )
 
 
-def _word_mask(pos: Column) -> tuple[Column, Column]:
-    """(widx, mask): 64-bit word index and the single-bit mask within it."""
-    widx = F.shiftright(pos, 6)
-    mask = F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))")
+def _word_mask(pos_col: str) -> tuple[Column, Column]:
+    """(widx, mask) for the position column NAMED ``pos_col``: 64-bit
+    word index and the single-bit mask within it.  Takes a name, not a
+    Column, because the shift amount must be column-valued and pyspark's
+    ``F.shiftleft`` only accepts a literal shift — the mask is an
+    ``F.expr`` with the name interpolated."""
+    widx = F.shiftright(F.col(pos_col), 6)
+    mask = F.expr(f"shiftleft(1L, cast(pmod({pos_col}, 64) as int))")
     return widx, mask
 
 
@@ -92,7 +96,7 @@ def bloom_build(
             bloom_positions(F.col(key_col), m_bits, k)
         ).alias("pos")
     )
-    widx, mask = _word_mask(F.col("pos"))
+    widx, mask = _word_mask("pos")
     return (
         pos.select(widx.alias("widx"), mask.alias("mask"))
         .groupBy("widx")
@@ -125,33 +129,39 @@ def bloom_probe(
     to be exactly verified), FALSE iff any bit is unset (definitely
     never inserted) or the key is NULL (uncomparable ⇒ never seen).
 
-    The probe is (id, widx, mask) ⋈ filter on widx — ``broadcast_filter``
-    chooses an explicit broadcast (the common case: the filter is MBs);
-    pass False at 10^11-bit scale to let the planner hash-join
-    co-partitioned on widx."""
+    The probe is (id, key, widx, mask) ⋈ filter on widx —
+    ``broadcast_filter`` chooses an explicit broadcast (the common case:
+    the filter is MBs); pass False at 10^11-bit scale to let the planner
+    hash-join co-partitioned on widx.  The k-bit AND is keyed on
+    ``(id_col, key_col)``, NOT id alone: a wave carrying the same id
+    with two different keys (crash-retry / overlapping-shard ingestion)
+    must not AND one key's bits against the other's — that would
+    manufacture the false negatives the filter contract forbids."""
     flt = F.broadcast(bloom) if broadcast_filter else bloom
     pos = docs.select(
         F.col(id_col),
+        F.col(key_col),
         F.explode(
             bloom_positions(F.col(key_col), m_bits, k)
         ).alias("pos"),
     )
-    widx, mask = _word_mask(F.col("pos"))
+    widx, mask = _word_mask("pos")
     probed = (
-        pos.select(id_col, widx.alias("widx"), mask.alias("mask"))
+        pos.select(id_col, key_col, widx.alias("widx"), mask.alias("mask"))
         .join(flt, "widx", "left")
         .select(
             id_col,
+            key_col,
             (
                 F.col("bits").isNotNull()
                 & (F.col("bits").bitwiseAND(F.col("mask")) != 0)
             ).alias("hit"),
         )
     )
-    per_doc = probed.groupBy(id_col).agg(
+    per_key = probed.groupBy(id_col, key_col).agg(
         F.min("hit").alias(out_col)  # min(boolean) = logical AND
     )
-    return docs.join(per_doc, id_col, "left").withColumn(
+    return docs.join(per_key, [id_col, key_col], "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(False))
     )
 
@@ -187,13 +197,21 @@ def bloom_incremental_exact_dedup(
     probed = bloom_probe(
         wave, bloom, "fp", m_bits, k, id_col=id_col, out_col="bloom_candidate"
     )
-    candidates = probed.filter(F.col("bloom_candidate")).select(id_col, "fp")
-    confirmed = candidates.join(
-        corpus_fp, "fp", "left_semi"
-    ).select(F.col(id_col).alias("_dup_id"))
+    # verification is keyed on (id, fp) and deduplicated: a wave id that
+    # appears with two texts must get a per-ROW verdict, and a wave row
+    # duplicated verbatim must not fan out through the verdict join
+    candidates = probed.filter(F.col("bloom_candidate")).select(
+        id_col, "fp"
+    ).distinct()
+    confirmed = candidates.join(corpus_fp, "fp", "left_semi").select(
+        F.col(id_col).alias("_dup_id"), F.col("fp").alias("_dup_fp")
+    )
     return (
         probed.join(
-            confirmed, probed[id_col] == confirmed["_dup_id"], "left"
+            confirmed,
+            (probed[id_col] == confirmed["_dup_id"])
+            & (probed["fp"] == confirmed["_dup_fp"]),
+            "left",
         )
         .select(
             id_col,

@@ -41,12 +41,17 @@ from pyspark.sql import functions as F
 END_OF_WORD = "</w>"
 
 
-def _initial_symbols(word: Column, end_of_word: str = END_OF_WORD) -> Column:
-    """Character symbols + the terminal marker.  ``substring`` is
-    character-based (matching DuckDB's), so non-ASCII BMP text splits
-    identically cross-engine."""
+def _initial_symbols(
+    word_col: str, end_of_word: str = END_OF_WORD
+) -> Column:
+    """Character symbols + the terminal marker for the string column
+    NAMED ``word_col`` (a name, not a Column — the dynamic-position
+    substring only exists as a SQL lambda, so the name is interpolated
+    into an ``F.expr``).  ``substring`` is character-based (matching
+    DuckDB's), so non-ASCII BMP text splits identically cross-engine."""
     chars = F.expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        f"transform(sequence(1, length({word_col})), "
+        f"i -> substring({word_col}, i, 1))"
     )
     return F.concat(chars, F.array(F.lit(end_of_word)))
 
@@ -121,7 +126,7 @@ def bpe_train(
         .select(
             "word",
             "cnt",
-            _initial_symbols(F.col("word"), end_of_word).alias("syms"),
+            _initial_symbols("word", end_of_word).alias("syms"),
         )
         .localCheckpoint()
     )
@@ -161,19 +166,48 @@ def bpe_train(
     return merge_table, w
 
 
+def bpe_encode_words(
+    words: DataFrame,
+    merges: list,
+    end_of_word: str = END_OF_WORD,
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Segment each distinct ``(word)`` row by applying the learned
+    merges in rank order — the open-vocabulary encode path for words
+    unseen at training time.  Returns ``(word, syms)``.  Each merge is
+    one fold projection (no shuffle); ``localCheckpoint`` every
+    ``checkpoint_every`` merges bounds expression depth for large merge
+    tables.  ``merges`` is a list of ``(left, right)`` pairs (bounded:
+    it is the tokenizer, not data)."""
+    out = words.select(
+        "word", _initial_symbols("word", end_of_word).alias("syms")
+    )
+    for i, (left, right) in enumerate(merges):
+        out = out.select(
+            "word", apply_merge(F.col("syms"), left, right).alias("syms")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            out = out.localCheckpoint()
+    return out
+
+
 def bpe_token_counts(
     docs: DataFrame,
     encoded_vocab: DataFrame,
+    merge_table: "DataFrame | None" = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-document BPE token counts under a trained tokenizer:
     ``(id_col, n_words, n_bpe_tokens)``.  One corpus scan exploded to
-    words, joined against the (vocabulary-sized, broadcastable) encoded
-    vocab — the standard encode shape.  Words never seen at training
-    time fall back to their symbol count under zero merges (characters
-    + marker), the exact behaviour of an open-vocabulary BPE encoder
-    whose learned merges simply never fire."""
+    words; the distinct-words relation anti-joins the trained vocab to
+    find out-of-vocabulary words, which are segmented by applying the
+    learned merges (``merge_table`` — the real open-vocabulary encode);
+    then one broadcast join of the corpus words against the unioned
+    vocab.  With ``merge_table=None`` OOV words fall back to their
+    UNMERGED symbol count (characters + marker) — a conservative
+    upper bound, not a true BPE segmentation; pass the merge table
+    whenever scoring text the tokenizer wasn't trained on."""
     dw = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
@@ -181,12 +215,31 @@ def bpe_token_counts(
     vocab = encoded_vocab.select(
         "word", F.size("syms").alias("word_tokens")
     )
-    joined = dw.join(F.broadcast(vocab), "word", "left").select(
-        id_col,
-        F.coalesce(
-            F.col("word_tokens"), F.length("word") + F.lit(1)
-        ).alias("word_tokens"),
-    )
+    if merge_table is not None:
+        # k rows — the tokenizer itself, bounded by construction
+        merges = [
+            (r.left, r.right)
+            for r in merge_table.orderBy("rank").collect()
+        ]
+        oov = (
+            dw.select("word")
+            .distinct()
+            .join(vocab.select("word"), "word", "left_anti")
+        )
+        oov_vocab = bpe_encode_words(oov, merges).select(
+            "word", F.size("syms").alias("word_tokens")
+        )
+        full_vocab = vocab.unionByName(oov_vocab)
+        joined = dw.join(F.broadcast(full_vocab), "word").select(
+            id_col, "word_tokens"
+        )
+    else:
+        joined = dw.join(F.broadcast(vocab), "word", "left").select(
+            id_col,
+            F.coalesce(
+                F.col("word_tokens"), F.length("word") + F.lit(1)
+            ).alias("word_tokens"),
+        )
     return joined.groupBy(id_col).agg(
         F.count("*").alias("n_words"),
         F.sum("word_tokens").alias("n_bpe_tokens"),

@@ -843,6 +843,9 @@ def exact_substring_dedup(
             ),
         ).alias("kept"),
     )
+    # size(NULL) is config-dependent: NULL under ANSI (coalesce catches
+    # it), -1 under spark.sql.legacy.sizeOfNull — the > 0 guard
+    # normalizes BOTH to 0, so null-text rows report 0 tokens either way
     n_tokens = F.coalesce(F.size("toks"), F.lit(0))
     return kept_step.select(
         F.col("id").alias(id_col),

@@ -79,6 +79,37 @@ def test_bloom_small_filter_has_fp_but_exact_result(spark):
     assert any(r.bloom_candidate for r in rows)  # FPs exist at this m
 
 
+def test_bloom_dedup_duplicate_wave_ids(spark):
+    # same id carried with two different texts (crash-retry ingestion):
+    # the k-bit AND must be keyed per (id, key) — ANDing across the two
+    # fingerprints would manufacture a false negative for the dup text
+    corpus_rows = [(i, f"seen {i}") for i in range(40)]
+    new_rows = [(7, "seen 3"), (7, "never seen before"), (8, "seen 5")]
+    out = [
+        (r.doc_id, r.is_dup)
+        for r in bloom_incremental_exact_dedup(
+            _docs(spark, new_rows),
+            _docs(spark, corpus_rows),
+            m_bits=1 << 14,
+            k=4,
+        ).orderBy("doc_id", "is_dup").collect()
+    ]
+    assert out == [(7, False), (7, True), (8, True)]
+
+
+def test_bloom_dedup_verbatim_duplicate_rows_no_fanout(spark):
+    # a wave row duplicated verbatim must not multiply through the
+    # verdict join: 2 rows in, 2 rows out, both marked dup
+    corpus_rows = [(1, "shared text")]
+    new_rows = [(9, "shared text"), (9, "shared text")]
+    rows = bloom_incremental_exact_dedup(
+        _docs(spark, new_rows), _docs(spark, corpus_rows),
+        m_bits=1 << 12, k=3,
+    ).collect()
+    assert len(rows) == 2
+    assert all(r.is_dup and r.bloom_candidate for r in rows)
+
+
 def test_bloom_merge_equals_union_build(spark):
     a = spark.createDataFrame([(f"k{i}",) for i in range(50)], "fp string")
     b = spark.createDataFrame([(f"k{i}",) for i in range(25, 80)], "fp string")

@@ -72,10 +72,11 @@ def _check(spark, texts, merges, min_pair_count=2):
     )
     assert got_table == exp_table
     assert got_vocab == exp_vocab
-    # encode: per-doc token counts under the trained vocab
+    # encode: per-doc token counts under the trained vocab (merge table
+    # passed — exercises the OOV union path with an empty OOV set)
     got_counts = {
         r.doc_id: (r.n_words, r.n_bpe_tokens)
-        for r in bpe_token_counts(docs, enc).collect()
+        for r in bpe_token_counts(docs, enc, merge_table=table).collect()
     }
     exp_counts = {}
     for i, t in enumerate(texts):
@@ -138,7 +139,40 @@ def test_bpe_seeded_random_corpus(spark):
     _check(spark, texts, merges=15, min_pair_count=1)
 
 
-def test_bpe_token_counts_unseen_word_fallback(spark):
+def test_bpe_token_counts_oov_applies_merges(spark):
+    # scoring a different corpus: OOV words must be segmented by the
+    # LEARNED merges (true open-vocab encode), checked against the
+    # reference greedy application
+    rng = random.Random(9)
+    train_texts = [
+        " ".join(rng.choice(["low", "lower", "lowest", "slow"])
+                 for _ in range(12))
+        for _ in range(10)
+    ]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)],
+        "doc_id int, text string",
+    )
+    table, enc = bpe_train(train, merges=6, min_pair_count=1)
+    merges = [(r.left, r.right) for r in table.orderBy("rank").collect()]
+    score_text = "low slowest glow zz"
+    score = spark.createDataFrame(
+        [(7, score_text)], "doc_id int, text string"
+    )
+    row = bpe_token_counts(score, enc, merge_table=table).collect()[0]
+
+    def ref_encode(word):
+        syms = list(word) + [END_OF_WORD]
+        for a, b in merges:
+            syms = _ref_apply(syms, a, b)
+        return syms
+
+    exp = sum(len(ref_encode(w)) for w in score_text.split())
+    assert row.n_words == 4
+    assert row.n_bpe_tokens == exp
+
+
+def test_bpe_token_counts_fallback_without_merge_table(spark):
     train = spark.createDataFrame(
         [(0, "hello hello world")], "doc_id int, text string"
     )
@@ -147,7 +181,7 @@ def test_bpe_token_counts_unseen_word_fallback(spark):
         [(7, "hello zzz")], "doc_id int, text string"
     )
     row = bpe_token_counts(score, enc).collect()[0]
-    # unseen 'zzz' falls back to chars + marker = 4 tokens
+    # without the merge table, unseen 'zzz' counts unmerged: chars+marker
     hello_tokens = next(
         len(r.syms) for r in enc.collect() if r.word == "hello"
     )

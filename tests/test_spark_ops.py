@@ -2765,10 +2765,20 @@ def test_training_prep_substring_stage(spark, tmp_path):
             "</body></html>"
         )
 
+    # doc c gets a FULLY original page — the shared page() closing
+    # template is itself a >=10-token corpus-wide run, so reusing it
+    # would (correctly) get c cut too and never exercise the verbatim
+    # pass-through branch
+    carol_html = (
+        "<html><head><title>t</title></head><body>"
+        "<p>carol has entirely original content only and her closing "
+        "sentence repeats nothing from anywhere else at all</p>"
+        "</body></html>"
+    )
     rows = [
         ("http://t.test/a", page("alpha", f"alpha opening words {boiler} alpha tail")),
         ("http://t.test/b", page("bravo", f"bravo different start {boiler} bravo end")),
-        ("http://t.test/c", page("carol", "carol has entirely original content only")),
+        ("http://t.test/c", carol_html),
     ]
     pages = spark.createDataFrame(rows, "url string, html string")
     res = run_training_prep(
@@ -2784,7 +2794,17 @@ def test_training_prep_substring_stage(spark, tmp_path):
     assert "boiler0" not in out["http://t.test/b"]   # run excised
     assert "bravo different start" in out["http://t.test/b"]
     assert "bravo end" in out["http://t.test/b"]
-    assert "carol has entirely original content" in out["http://t.test/c"]
+    # verbatim branch: an untouched doc's text is BYTE-identical to the
+    # same pipeline without the substring stage (no token-rejoin)
+    run_training_prep(
+        spark, pages, str(tmp_path / "ctrl"),
+        min_tokens=5, pack_budget=500, fuzzy=False,
+    )
+    ctrl = {
+        r.parent_url: r.text
+        for r in spark.read.parquet(str(tmp_path / "ctrl")).collect()
+    }
+    assert out["http://t.test/c"] == ctrl["http://t.test/c"]
 
 
 # --- perceptual-hash image dedup (operators/image_dedup.py) -----------------
