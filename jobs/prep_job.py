@@ -63,6 +63,10 @@ def main() -> None:
                          "enables DSIR importance selection")
     ap.add_argument("--dsir-budget", type=int, default=None,
                     help="how many most-target-like docs DSIR keeps")
+    ap.add_argument("--shuffle-seed", type=int, default=None,
+                    help="seeded deterministic global shuffle before "
+                         "packing (mixes sources within each training "
+                         "sequence; default keeps url order)")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="stage-checkpoint path: the extract+dedup output "
                          "commits here and a rerun resumes from it")
@@ -116,6 +120,7 @@ def main() -> None:
         quality_dim=args.quality_dim,
         quality_iters=args.quality_iters,
         classifier_threshold=args.quality_threshold,
+        shuffle_seed=args.shuffle_seed,
         checkpoint_dir=args.checkpoint_dir,
     )
     print(

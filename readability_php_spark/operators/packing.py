@@ -35,21 +35,28 @@ def pack_documents(
     group_cols: tuple[str, ...] = ("lang",),
     order_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each document a ``pack_id`` within its group; documents with
     ``prefix // budget`` equal share one training sequence.  Oversized
-    documents (> budget) get a pack of their own (flagged ``oversize``)."""
+    documents (> budget) get a pack of their own (flagged ``oversize``).
+    ``passthrough_cols`` ride through unchanged — used when the packing
+    order key is a derived column (e.g. a shuffle key) and the caller
+    still needs the real unit id in the output."""
     w = (
         Window.partitionBy(*group_cols)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prefix = (F.sum(tokens_col).over(w) - F.col(tokens_col)).alias("prefix")
-    out = docs.select(*group_cols, order_col, tokens_col, prefix)
+    out = docs.select(
+        *group_cols, order_col, tokens_col, *passthrough_cols, prefix
+    )
     return out.select(
         *group_cols,
         order_col,
         tokens_col,
+        *passthrough_cols,
         F.floor(F.col("prefix") / budget).cast("bigint").alias("pack_id"),
         (F.col(tokens_col) > budget).alias("oversize"),
     )

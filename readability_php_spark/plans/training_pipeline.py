@@ -100,6 +100,7 @@ def run_training_prep(
     dsir_buckets: int = 65536,
     chunk_max_tokens: Optional[int] = None,
     chunk_stride: Optional[int] = None,
+    shuffle_seed: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
 ) -> PrepResult:
     """pages(url, html[, lang]) → packed training rows at ``output_path``
@@ -173,6 +174,12 @@ def run_training_prep(
     the document's tokens re-joined with single spaces, so newlines and
     runs of spaces (line/paragraph structure) collapse; case is
     preserved.  Leave ``chunk_max_tokens=None`` to ship verbatim text.
+
+    ``shuffle_seed`` orders packing by a seeded keyed hash instead of
+    the unit id: url order fills each training sequence with one site's
+    adjacent pages; the shuffle mixes sources within every pack, and —
+    being a pure function of (unit_id, seed) — stays deterministic
+    across reruns and cluster sizes.  ``None`` keeps url order.
 
     ``checkpoint_dir`` makes the pipeline resumable: the extract→scrub→
     dedup output and its conservation counters are committed there
@@ -503,10 +510,42 @@ def run_training_prep(
     # split on the PARENT url: chunks of one document (overlapping text)
     # must never straddle train/val/test
     split = hash_split(units, fractions, key_col="parent_url")
-    packed = pack_documents(
-        split, budget=pack_budget, group_cols=("split", "lang"),
-        order_col="unit_id", tokens_col="n_tokens",
-    ).join(split.select("unit_id", "parent_url", "text"), "unit_id")
+    if shuffle_seed is not None:
+        # seeded global shuffle BEFORE packing: url order fills a pack
+        # with one site's adjacent pages; ordering by a keyed hash mixes
+        # sources within every training sequence while staying fully
+        # deterministic (stable across reruns and cluster sizes — the
+        # same md5 machinery as hash_split).  The unit id is appended as
+        # an explicit tie-break so the order is total even across the
+        # hash's 2^32 buckets; zero-padding keeps string order numeric.
+        from ..operators.sampling import hash_uniform
+
+        split = split.withColumn(
+            "_shuffle",
+            F.concat(
+                F.lpad(
+                    hash_uniform(F.col("unit_id"), shuffle_seed).cast(
+                        "string"
+                    ),
+                    10,
+                    "0",
+                ),
+                F.lit("#"),
+                F.col("unit_id"),
+            ),
+        )
+        packed = pack_documents(
+            split, budget=pack_budget, group_cols=("split", "lang"),
+            order_col="_shuffle", tokens_col="n_tokens",
+            passthrough_cols=("unit_id",),
+        ).drop("_shuffle").join(
+            split.select("unit_id", "parent_url", "text"), "unit_id"
+        )
+    else:
+        packed = pack_documents(
+            split, budget=pack_budget, group_cols=("split", "lang"),
+            order_col="unit_id", tokens_col="n_tokens",
+        ).join(split.select("unit_id", "parent_url", "text"), "unit_id")
     packed = packed.withColumnRenamed("unit_id", "url")
     # doc_id: sortable convenience for downstream consumers, NOT a key
     packed = packed.withColumn("doc_id", F.xxhash64("url"))

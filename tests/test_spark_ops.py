@@ -2746,6 +2746,35 @@ def test_training_prep_quality_rule_stages(spark, tmp_path):
     assert dropped.docs_final == 0
 
 
+def test_training_prep_shuffle_seed(spark, tmp_path):
+    """shuffle_seed packs by a seeded hash instead of url order: same
+    unit set and token conservation, different (source-mixing) pack
+    assignment, and bit-identical across reruns with the same seed."""
+    from readability_php_spark.plans.training_pipeline import run_training_prep
+
+    articles = fixture_corpus_df(spark, replicas=1).select("url", "html")
+
+    def run(path, seed):
+        run_training_prep(
+            spark, articles, str(tmp_path / path), min_tokens=10,
+            pack_budget=800, fuzzy=False, shuffle_seed=seed,
+        )
+        return {
+            r.url: (r.split, r.lang, r.n_tokens, r.pack_id)
+            for r in spark.read.parquet(str(tmp_path / path)).collect()
+        }
+
+    plain = run("plain", None)
+    shuf = run("shuf", 7)
+    again = run("again", 7)
+    assert shuf == again                      # deterministic
+    assert set(shuf) == set(plain)            # same unit universe
+    assert {u: v[:3] for u, v in shuf.items()} == {
+        u: v[:3] for u, v in plain.items()
+    }                                         # split/lang/tokens unchanged
+    assert any(shuf[u][3] != plain[u][3] for u in plain)  # packs re-mixed
+
+
 def test_training_prep_substring_stage(spark, tmp_path):
     """substring_n wired into the prep pipeline: two pages share a
     15-token boilerplate run embedded in otherwise-distinct paragraphs
