@@ -2554,6 +2554,60 @@ def test_prep_job_cli_end_to_end(spark, tmp_path):
     }
 
 
+def test_dedup_job_cli_end_to_end(spark, tmp_path):
+    """jobs/dedup_job.py as a real subprocess: a wave with an exact
+    corpus dup, an intra-wave dup pair, a fuzzy corpus near-dup, and
+    fresh docs — both stages drop what they should, the signature table
+    materializes, and the kept parquet reads back."""
+    import subprocess
+    import sys as _sys
+
+    corpus_rows = [
+        (f"http://c.test/{i}", " ".join(f"c{i}w{j}" for j in range(60)))
+        for i in range(10)
+    ]
+    near = corpus_rows[5][1] + "x"  # one char appended: J ≈ 0.98
+    wave_rows = [
+        ("http://w.test/1", corpus_rows[3][1]),   # exact corpus dup
+        ("http://w.test/2", " ".join(f"f2w{j}" for j in range(30))),
+        ("http://w.test/3", " ".join(f"f2w{j}" for j in range(30))),  # intra dup of /2
+        ("http://w.test/4", near),                 # fuzzy corpus near-dup
+        ("http://w.test/5", " ".join(f"f5w{j}" for j in range(30))),
+    ]
+    corpus_dir = str(tmp_path / "corpus")
+    wave_dir = str(tmp_path / "wave")
+    spark.createDataFrame(corpus_rows, "url string, text string").write.parquet(corpus_dir)
+    spark.createDataFrame(wave_rows, "url string, text string").write.parquet(wave_dir)
+    out_dir = str(tmp_path / "kept")
+    sig_dir = str(tmp_path / "sigs")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            _sys.executable, os.path.join(repo, "jobs", "dedup_job.py"),
+            "--wave", wave_dir, "--corpus", corpus_dir,
+            "--output", out_dir, "--fuzzy",
+            "--signature-table", sig_dir, "--master", "local[4]",
+        ],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = next(
+        ln for ln in proc.stdout.splitlines() if ln.startswith("dedup done: ")
+    )
+    import json as _json
+    metrics = _json.loads(line.removeprefix("dedup done: "))
+    assert metrics["wave_in"] == 5
+    assert metrics["after_intra_exact"] == 4   # /3 dies to /2
+    assert metrics["after_exact"] == 3         # /1 dies to corpus
+    assert metrics["after_fuzzy"] == 2         # /4 dies to corpus near-dup
+    kept = {r.url for r in spark.read.parquet(out_dir).collect()}
+    assert kept == {"http://w.test/2", "http://w.test/5"}
+    # bootstrap wrote the signature table (corpus + kept-wave bands)
+    sigs = spark.read.parquet(sig_dir)
+    assert sigs.count() > 0
+    assert set(sigs.columns) == {"url", "band", "band_hash"}
+
+
 def test_incremental_fuzzy_dedup_differential(spark):
     """Differential check against a pure-Python reference: exact 3-gram
     Jaccard over ALL pairs + union-find + the corpus-wins cluster rule.
