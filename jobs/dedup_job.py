@@ -83,30 +83,48 @@ def main() -> None:
     corpus = spark.read.parquet(args.corpus)
     metrics = {"wave_in": wave.count()}
 
-    kept = wave
+    # verbatim duplicate ROWS (same id, same text — crash-retry double
+    # ingestion) collapse first: the downstream keepers are keyed per
+    # (id, fingerprint) and would otherwise pass both physical copies
+    kept = wave.dropDuplicates([args.id_col, args.text_col])
     if not args.no_exact:
-        # intra-wave first: a wave can carry its own duplicates
-        kept = exact_dedup(kept, text_col=args.text_col, id_col=args.id_col)
+        # intra-wave: min-id keeper per fingerprint; checkpoint so the
+        # count and the bloom stage don't recompute the wave lineage
+        kept = exact_dedup(
+            kept, text_col=args.text_col, id_col=args.id_col
+        ).localCheckpoint()
         metrics["after_intra_exact"] = kept.count()
         # one-column corpus count sizes the filter for the design FP rate
         n_corpus = corpus.count()
         m_bits, k = optimal_params(max(n_corpus, 1), args.bloom_fp)
         metrics["bloom_bits"], metrics["bloom_hashes"] = m_bits, k
-        verdicts = bloom_incremental_exact_dedup(
-            kept, corpus, m_bits=m_bits, k=k,
-            text_col=args.text_col, id_col=args.id_col,
+        # per-ROW verdicts ride the operator's output — no id rejoin
+        # (an id repeated with two texts gets two independent verdicts)
+        kept = (
+            bloom_incremental_exact_dedup(
+                kept, corpus, m_bits=m_bits, k=k,
+                text_col=args.text_col, id_col=args.id_col,
+            )
+            .filter(~F.col("is_dup"))
+            .drop("bloom_candidate", "is_dup")
+            .localCheckpoint()
         )
-        new_ids = verdicts.filter(~F.col("is_dup")).select(args.id_col)
-        kept = kept.join(new_ids, args.id_col, "left_semi")
         metrics["after_exact"] = kept.count()
 
+    append_bands = None
     if args.fuzzy:
         corpus_bands = None
-        sig_exists = args.signature_table and os.path.isdir(
-            args.signature_table
-        )
-        if sig_exists:
-            corpus_bands = spark.read.parquet(args.signature_table)
+        if args.signature_table:
+            # FS-agnostic existence probe (os.path only sees local paths;
+            # s3://hdfs:// tables would silently re-bootstrap every wave,
+            # appending duplicate corpus bands each run).  Only the
+            # path-missing condition maps to bootstrap; credential or
+            # corruption errors re-raise.
+            from readability_php_spark.plans.pipeline import (
+                _try_read_parquet,
+            )
+
+            corpus_bands = _try_read_parquet(spark, args.signature_table)
         kept, append_bands = incremental_fuzzy_dedup(
             kept, corpus,
             text_col=args.text_col, id_col=args.id_col,
@@ -114,13 +132,17 @@ def main() -> None:
             shingle_n=args.shingle_n, threshold=args.fuzzy_threshold,
             corpus_bands=corpus_bands,
         )
-        metrics["after_fuzzy"] = kept.count()
-        if args.signature_table:
-            # bootstrap writes corpus+wave bands; warm runs append the delta
-            append_bands.write.mode("append").parquet(args.signature_table)
 
     kept.write.mode("overwrite").parquet(args.output)
     metrics["kept"] = spark.read.parquet(args.output).count()
+    if args.fuzzy:
+        metrics["after_fuzzy"] = metrics["kept"]
+    if append_bands is not None and args.signature_table:
+        # bands commit AFTER the output: a crash between the two leaves
+        # the benign state (output committed, bands missing — the next
+        # run at worst re-verifies) instead of a signature table
+        # polluted with duplicate rows for a wave that never shipped
+        append_bands.write.mode("append").parquet(args.signature_table)
     print("dedup done: " + json.dumps(metrics, sort_keys=True))
 
 

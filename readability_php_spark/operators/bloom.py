@@ -174,12 +174,16 @@ def bloom_incremental_exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Wave-incremental exact dedup with Bloom pruning: one row per wave
-    doc with ``(bloom_candidate, is_dup)``.  ``is_dup`` is EXACT — equal
-    to a plain fingerprint semi-join against the corpus (the filter only
-    prunes which wave rows reach that join; false positives are verified
-    away, and false negatives are impossible by construction).  NULL
-    text is uncomparable ⇒ never a dup (exact_dedup's discipline).
+    """Wave-incremental exact dedup with Bloom pruning: every input row
+    of ``new_docs`` comes back unchanged with ``(bloom_candidate,
+    is_dup)`` appended — callers keep the survivors with
+    ``.filter(~F.col("is_dup"))``, no rejoin (a rejoin on the id alone
+    would collapse per-ROW verdicts when an id repeats with different
+    texts).  ``is_dup`` is EXACT — equal to a plain fingerprint
+    semi-join against the corpus (the filter only prunes which wave
+    rows reach that join; false positives are verified away, and false
+    negatives are impossible by construction).  NULL text is
+    uncomparable ⇒ never a dup (exact_dedup's discipline).
 
     Shape per wave: build/refresh the filter over corpus fingerprints
     (one map-side-combined agg — in a maintained deployment this table
@@ -193,29 +197,29 @@ def bloom_incremental_exact_dedup(
         F.col("fp").isNotNull()
     )
     bloom = bloom_build(corpus_fp, "fp", m_bits, k)
-    wave = new_docs.select(id_col, fp.alias("fp"))
+    wave = new_docs.withColumn("_bloom_fp", fp)
     probed = bloom_probe(
-        wave, bloom, "fp", m_bits, k, id_col=id_col, out_col="bloom_candidate"
+        wave, bloom, "_bloom_fp", m_bits, k,
+        id_col=id_col, out_col="bloom_candidate",
     )
     # verification is keyed on (id, fp) and deduplicated: a wave id that
     # appears with two texts must get a per-ROW verdict, and a wave row
     # duplicated verbatim must not fan out through the verdict join
     candidates = probed.filter(F.col("bloom_candidate")).select(
-        id_col, "fp"
+        F.col(id_col), F.col("_bloom_fp")
     ).distinct()
-    confirmed = candidates.join(corpus_fp, "fp", "left_semi").select(
-        F.col(id_col).alias("_dup_id"), F.col("fp").alias("_dup_fp")
+    confirmed = candidates.join(
+        corpus_fp, candidates["_bloom_fp"] == corpus_fp["fp"], "left_semi"
+    ).select(
+        F.col(id_col).alias("_dup_id"), F.col("_bloom_fp").alias("_dup_fp")
     )
     return (
         probed.join(
             confirmed,
             (probed[id_col] == confirmed["_dup_id"])
-            & (probed["fp"] == confirmed["_dup_fp"]),
+            & (probed["_bloom_fp"] == confirmed["_dup_fp"]),
             "left",
         )
-        .select(
-            id_col,
-            "bloom_candidate",
-            F.col("_dup_id").isNotNull().alias("is_dup"),
-        )
+        .withColumn("is_dup", F.col("_dup_id").isNotNull())
+        .drop("_bloom_fp", "_dup_id", "_dup_fp")
     )

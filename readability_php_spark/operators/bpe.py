@@ -197,6 +197,7 @@ def bpe_token_counts(
     merge_table: "DataFrame | None" = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    end_of_word: str = END_OF_WORD,
 ) -> DataFrame:
     """Per-document BPE token counts under a trained tokenizer:
     ``(id_col, n_words, n_bpe_tokens)``.  One corpus scan exploded to
@@ -207,7 +208,9 @@ def bpe_token_counts(
     vocab.  With ``merge_table=None`` OOV words fall back to their
     UNMERGED symbol count (characters + marker) — a conservative
     upper bound, not a true BPE segmentation; pass the merge table
-    whenever scoring text the tokenizer wasn't trained on."""
+    whenever scoring text the tokenizer wasn't trained on.
+    ``end_of_word`` must match the marker the tokenizer was TRAINED
+    with — marker-adjacent merges never fire on a mismatched marker."""
     dw = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
@@ -226,9 +229,9 @@ def bpe_token_counts(
             .distinct()
             .join(vocab.select("word"), "word", "left_anti")
         )
-        oov_vocab = bpe_encode_words(oov, merges).select(
-            "word", F.size("syms").alias("word_tokens")
-        )
+        oov_vocab = bpe_encode_words(
+            oov, merges, end_of_word=end_of_word
+        ).select("word", F.size("syms").alias("word_tokens"))
         full_vocab = vocab.unionByName(oov_vocab)
         joined = dw.join(F.broadcast(full_vocab), "word").select(
             id_col, "word_tokens"

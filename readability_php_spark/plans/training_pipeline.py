@@ -510,6 +510,7 @@ def run_training_prep(
     # split on the PARENT url: chunks of one document (overlapping text)
     # must never straddle train/val/test
     split = hash_split(units, fractions, key_col="parent_url")
+    order_col, passthrough = "unit_id", ()
     if shuffle_seed is not None:
         # seeded global shuffle BEFORE packing: url order fills a pack
         # with one site's adjacent pages; ordering by a keyed hash mixes
@@ -517,7 +518,8 @@ def run_training_prep(
         # deterministic (stable across reruns and cluster sizes — the
         # same md5 machinery as hash_split).  The unit id is appended as
         # an explicit tie-break so the order is total even across the
-        # hash's 2^32 buckets; zero-padding keeps string order numeric.
+        # hash's 2^32 buckets; zero-padding keeps string order numeric
+        # (the hash maxes at 4294967295 — exactly 10 digits).
         from ..operators.sampling import hash_uniform
 
         split = split.withColumn(
@@ -534,18 +536,14 @@ def run_training_prep(
                 F.col("unit_id"),
             ),
         )
-        packed = pack_documents(
-            split, budget=pack_budget, group_cols=("split", "lang"),
-            order_col="_shuffle", tokens_col="n_tokens",
-            passthrough_cols=("unit_id",),
-        ).drop("_shuffle").join(
-            split.select("unit_id", "parent_url", "text"), "unit_id"
-        )
-    else:
-        packed = pack_documents(
-            split, budget=pack_budget, group_cols=("split", "lang"),
-            order_col="unit_id", tokens_col="n_tokens",
-        ).join(split.select("unit_id", "parent_url", "text"), "unit_id")
+        order_col, passthrough = "_shuffle", ("unit_id",)
+    packed = pack_documents(
+        split, budget=pack_budget, group_cols=("split", "lang"),
+        order_col=order_col, tokens_col="n_tokens",
+        passthrough_cols=passthrough,
+    ).drop("_shuffle").join(
+        split.select("unit_id", "parent_url", "text"), "unit_id"
+    )
     packed = packed.withColumnRenamed("unit_id", "url")
     # doc_id: sortable convenience for downstream consumers, NOT a key
     packed = packed.withColumn("doc_id", F.xxhash64("url"))
