@@ -189,6 +189,37 @@ def test_bpe_token_counts_fallback_without_merge_table(spark):
     assert row.n_bpe_tokens == hello_tokens + 4
 
 
+def test_apply_merge_exhaustive_small_sequences(spark):
+    """The greedy fold (apply_merge) equals the reference left-to-right
+    scan on EVERY {a,b} symbol sequence up to length 6, for every merge
+    pair over {a,b} — exhaustively covering all run/overlap patterns
+    (aa-runs, abab chains, boundary merges) where greedy semantics can
+    diverge.  One Spark job for all 378 cases."""
+    from itertools import product
+
+    from readability_php_spark.operators.bpe import apply_merge
+
+    seqs = [
+        list(p)
+        for n in range(1, 7)
+        for p in product("ab", repeat=n)
+    ]
+    pairs = [("a", "a"), ("a", "b"), ("b", "a")]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seqs)], "i int, syms array<string>"
+    )
+    cols = [
+        apply_merge(F.col("syms"), a, b).alias(f"m{j}")
+        for j, (a, b) in enumerate(pairs)
+    ]
+    got = {r.i: r for r in df.select("i", *cols).collect()}
+    for i, s in enumerate(seqs):
+        for j, (a, b) in enumerate(pairs):
+            assert list(got[i][f"m{j}"]) == _ref_apply(s, a, b), (
+                s, (a, b)
+            )
+
+
 def test_bpe_rejects_bad_params(spark):
     docs = spark.createDataFrame([(0, "x y")], "doc_id int, text string")
     with pytest.raises(ValueError):
