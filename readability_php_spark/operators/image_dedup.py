@@ -35,10 +35,15 @@ Scale shape mirrors the text-side dedup chain end-to-end:
 Skew note (100 TB): real image corpora are full of flat/near-flat images
 (spacer GIFs, solid backgrounds) that all hash to the same few values, so
 a (block, value) bucket can be enormous.  ``bucket_cap`` bounds the
-per-bucket pair blow-up: buckets larger than the cap are near-exact dup
-piles by construction, so instead of emitting O(n²) pairs the operator
-emits a star (every member paired with the bucket's minimum id) — same
-connected components, linear pair count.
+per-TASK pair work without changing the result: when the largest bucket
+exceeds the cap, candidate generation switches from local array pair
+expansion to a salted self-join on (block, value) — the a-side
+replicates ``s = ceil(biggest/cap)`` ways, the b-side salts by id-hash,
+so each shuffle key carries ~1/s of a mega-bucket's quadratic pair work
+while every pair still meets exactly once.  The emitted pair set is
+IDENTICAL to the uncapped path in both modes (the within-bucket
+comparison is inherently quadratic; the cap distributes it, it does not
+approximate it — same guard as similarity._bucketed_cosine_pairs).
 """
 
 from __future__ import annotations
@@ -191,10 +196,14 @@ def phash_near_dup_candidates(
     find every pair within Hamming distance ``blocks − 1``; pairs farther
     apart than that may be missed even if ≤ ``max_hamming`` (raise
     ``blocks`` — 8 blocks of 8 bits guarantees ≤ 7 — at the cost of
-    hotter buckets).  One shuffle on (block, value); buckets over
-    ``bucket_cap`` emit a star to the bucket minimum instead of all pairs
-    (identical connected components, linear pair count — see module
-    docstring)."""
+    hotter buckets).  One shuffle on (block, value) in the common case
+    (local array pair expansion); when the largest bucket exceeds
+    ``bucket_cap`` the operator switches to a salted self-join so no
+    single task owns a mega-bucket's quadratic pair work — the emitted
+    pair set is IDENTICAL either way (see module docstring).  Sizing the
+    salt takes one bounded aggregate over the input; callers whose
+    ``hashes`` lineage is expensive (a decode pass) should checkpoint it
+    first, as :func:`phash_image_dedup` does."""
     if 64 % blocks != 0:
         raise ValueError(f"blocks must divide 64, got {blocks}")
     bits = 64 // blocks
@@ -211,37 +220,56 @@ def phash_near_dup_candidates(
             )
         ).alias("b"),
     ).select("media_id", "phash", F.col("b.block").alias("block"), F.col("b.val").alias("val"))
-    buckets = blocked.groupBy("block", "val").agg(
-        F.sort_array(F.collect_set(F.struct("media_id", "phash"))).alias("ids")
-    ).filter(F.size("ids") >= 2)
+    s = 1
     if bucket_cap is not None:
-        pair_expr = F.when(
-            F.size("ids") > F.lit(bucket_cap),
-            F.expr(
-                "transform(slice(ids, 2, size(ids) - 1), "
-                "y -> struct(ids[0].media_id AS id_a, y.media_id AS id_b, "
-                "ids[0].phash AS ph_a, y.phash AS ph_b))"
-            ),
-        ).otherwise(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                "y -> struct(x.media_id AS id_a, y.media_id AS id_b, "
-                "x.phash AS ph_a, y.phash AS ph_b))))"
-            )
+        # bounded action: one row per (block, val) feeds a scalar max
+        biggest = (
+            blocked.groupBy("block", "val").count().agg(F.max("count")).first()[0]
+            or 0
         )
-    else:
+        s = max(1, -(-int(biggest) // bucket_cap))  # ceil div
+    if s == 1:
+        buckets = blocked.groupBy("block", "val").agg(
+            F.sort_array(F.collect_set(F.struct("media_id", "phash"))).alias("ids")
+        ).filter(F.size("ids") >= 2)
         pair_expr = F.expr(
             "flatten(transform(ids, (x, i) -> "
             "transform(slice(ids, i + 2, size(ids) - i - 1), "
             "y -> struct(x.media_id AS id_a, y.media_id AS id_b, "
             "x.phash AS ph_a, y.phash AS ph_b))))"
         )
-    pairs = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.id_a", "p.id_b", "p.ph_a", "p.ph_b")
-        .distinct()
-    )
+        pairs = (
+            buckets.select(F.explode(pair_expr).alias("p"))
+            .select("p.id_a", "p.id_b", "p.ph_a", "p.ph_b")
+            .distinct()
+        )
+    else:
+        # mega-bucket mode: every (a, b) pair meets exactly once — when
+        # the a-replica index equals b's id-hash salt — so the pair set
+        # matches the array path's; each (block, val, salt) shuffle key
+        # carries ~1/s of the bucket's pair work
+        a_rep = blocked.alias("a").withColumn(
+            "rep", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+        )
+        b_salt = blocked.alias("b").withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("b.media_id")), F.lit(s)).cast("int")
+        )
+        pairs = (
+            a_rep.join(
+                b_salt,
+                (F.col("a.block") == F.col("b.block"))
+                & (F.col("a.val") == F.col("b.val"))
+                & (F.col("rep") == F.col("salt"))
+                & (F.col("a.media_id") < F.col("b.media_id")),
+            )
+            .select(
+                F.col("a.media_id").alias("id_a"),
+                F.col("b.media_id").alias("id_b"),
+                F.col("a.phash").alias("ph_a"),
+                F.col("b.phash").alias("ph_b"),
+            )
+            .distinct()
+        )
     hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
@@ -264,9 +292,14 @@ def phash_image_dedup(
     :func:`compute_phash`).  Same chain shape as the text fuzzy-dedup
     pipeline — signature once per item, bucket-local pairs, O(log d)
     clustering — so the 100 TB rationale carries over unchanged."""
+    # checkpoint the slim (media_id, phash) relation: the decode pass is
+    # the chain's expensive stage and feeds THREE consumers (the salt-
+    # sizing aggregate inside candidate generation, the pair join, and
+    # the final labeling join) — without this the mapInPandas decode
+    # would re-run per consumer
     ph = compute_phash(
         media, fake_decode=fake_decode, max_pixels=max_pixels
-    ).filter(F.col("error").isNull())
+    ).filter(F.col("error").isNull()).localCheckpoint()
     edges = phash_near_dup_candidates(
         ph, max_hamming=max_hamming, blocks=blocks, bucket_cap=bucket_cap
     )

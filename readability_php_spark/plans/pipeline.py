@@ -226,21 +226,25 @@ def run_extract_job(
     # first data append and the first manifest append leaves committed rows
     # with no manifest at all, and rerunning must still not duplicate them.
     committed = _try_read_parquet(spark, output_path) if resume else None
-    if resume and snapshots:
-        # After compact+vacuum maintenance, some buckets' live rows exist
-        # ONLY under the _compacted staging dir, which the raw directory
-        # read above skips — without this union a post-vacuum resume would
-        # re-extract those urls and the next commit would duplicate them
-        # in the latest snapshot.
+    # After compact+vacuum maintenance, some buckets' live rows exist
+    # ONLY under the _compacted staging dir, which a raw directory read
+    # skips.  The staged view is computed once (the compacted set cannot
+    # change mid-run — compaction is an offline maintenance op) and
+    # unioned wherever the raw read stands in for "all committed rows":
+    # the resume anti-join AND the per-wave metrics read-back below
+    # (without the latter, a resumed bucket whose rows live only under
+    # _compacted reports zero docs/bytes in the manifest).
+    staged = None
+    if snapshots:
         from .snapshots import _read_file_rows, live_compacted_files
 
         staged = _read_file_rows(spark, live_compacted_files(spark, output_path))
-        if staged is not None:
-            committed = (
-                staged
-                if committed is None
-                else committed.unionByName(staged, allowMissingColumns=True)
-            )
+    if resume and staged is not None:
+        committed = (
+            staged
+            if committed is None
+            else committed.unionByName(staged, allowMissingColumns=True)
+        )
 
     wave_size = max(1, (num_buckets + waves - 1) // waves)
     waves_run = 0
@@ -310,6 +314,14 @@ def run_extract_job(
             [(int(b),) for b in wave_buckets], "part_id int"
         )
         committed_out = _try_read_parquet(spark, output_path)
+        if staged is not None:
+            # same union as the resume path: a resumed bucket whose live
+            # rows sit only under _compacted must still count in metrics
+            committed_out = (
+                staged
+                if committed_out is None
+                else committed_out.unionByName(staged, allowMissingColumns=True)
+            )
         if committed_out is None:
             metrics = all_ids.select(
                 "part_id",

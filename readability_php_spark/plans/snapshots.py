@@ -65,6 +65,7 @@ reference repo — readability.php has no storage layer.)
 from __future__ import annotations
 
 import os
+import re
 import time
 import uuid
 import warnings
@@ -101,16 +102,26 @@ def _log_path(output_path: str) -> str:
 # same code serves hdfs:/ and s3a:/ deployments.
 
 
+#: A URI scheme followed by a slash — matches both authority
+#: (``hdfs://nn/...``) and scheme-without-authority (``hdfs:/warehouse``)
+#: spellings, which Hadoop treats identically.  A bare ``scheme:name``
+#: with no slash is NOT matched: that's a plausible local filename
+#: (``backup:2024.parquet``), not a filesystem URI.
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:/")
+
+
 def _is_local(path: str) -> bool:
-    if "://" in path:
-        return path.split("://", 1)[0] == "file"
-    return True  # bare paths and file: URIs are driver-local
+    m = _SCHEME_RE.match(path)
+    if m:
+        return path[: m.end() - 2].lower() == "file"
+    return True  # bare paths and file:/ URIs are driver-local
 
 
 def _local(path: str) -> str:
-    if path.startswith("file://"):
+    low = path.lower()
+    if low.startswith("file://"):
         return path[len("file://"):] or "/"
-    if path.startswith("file:"):
+    if low.startswith("file:"):
         return path[len("file:"):]
     return path
 

@@ -735,6 +735,28 @@ def test_null_text_discipline(spark):
     assert row.error is not None and row.error.startswith("decode_error")
 
 
+def test_snapshot_path_scheme_routing():
+    """Scheme-without-authority Hadoop URIs (hdfs:/warehouse/t — a valid
+    spelling Hadoop normalizes to the default FS) must route to the
+    Hadoop FS branch, not the os.* local branch (which would read an
+    empty log and append to a literal './hdfs:' directory)."""
+    from readability_php_spark.plans.snapshots import _is_local, _local
+
+    assert _is_local("/tmp/out")
+    assert _is_local("relative/dir")
+    assert _is_local("file:///tmp/out")
+    assert _is_local("file:/tmp/out")
+    assert _is_local("File:/tmp/out")
+    # a colon-bearing local FILENAME is not a URI (no slash after scheme)
+    assert _is_local("backup:2024.parquet")
+    assert not _is_local("hdfs://nn:8020/warehouse/t")
+    assert not _is_local("hdfs:/warehouse/t")
+    assert not _is_local("s3a://bucket/prefix")
+    assert not _is_local("s3a:/bucket/prefix")
+    assert _local("file:///tmp/out") == "/tmp/out"
+    assert _local("file:/tmp/out") == "/tmp/out"
+
+
 def test_snapshot_log_time_travel(spark, tmp_path):
     """Iceberg-pattern snapshot log: each wave commit appends a file
     manifest; read_snapshot pins an as-of view that later waves and even
@@ -3033,23 +3055,41 @@ def test_phash_candidates_pigeonhole(spark):
     assert got8[(1, 4)] == 4
 
 
-def test_phash_bucket_cap_star(spark):
-    from readability_php_spark.operators.dedup import connected_components
+def test_phash_bucket_cap_exact(spark):
+    """The salted mega-bucket mode emits the IDENTICAL pair set as the
+    uncapped array path — the cap distributes the quadratic work, it does
+    not approximate it.  The corpus includes two members of an over-cap
+    bucket that are within max_hamming of each other but both farther
+    than that from the bucket minimum (the exact pair the pre-r6 star
+    emission lost)."""
     from readability_php_spark.operators.image_dedup import (
         phash_near_dup_candidates,
     )
 
-    rows = [(i, 42) for i in range(1, 6)]  # five identical hashes
+    base = 0x0123456789ABCDEF
+    rows = [(i, base) for i in range(1, 6)]          # five identical hashes
+    # 6 and 7: hamming 3 from each other, hamming 4/3 from base — they
+    # share base's low three 16-bit blocks (bits flipped only in block 3),
+    # so all land in one mega-bucket with the identical five
+    rows.append((6, base ^ (0b1111 << 59)))          # d(base)=4, only blk 3 differs
+    rows.append((7, base ^ (0b0001 << 59)))          # d(base)=1, d(6)=3
     hashes = spark.createDataFrame(rows, "media_id long, phash long")
-    full = phash_near_dup_candidates(hashes, max_hamming=0).collect()
-    assert len(full) == 10  # C(5,2) under the default (uncapped) path
-    star = phash_near_dup_candidates(hashes, max_hamming=0, bucket_cap=3).collect()
-    assert len(star) == 4 and all(r.id_a == 1 for r in star)
-    comps = connected_components(
-        spark.createDataFrame(star, "id_a long, id_b long, hamming int"),
-        src="id_a", dst="id_b",
-    ).collect()
-    assert {r.cluster_id for r in comps} == {1} and len(comps) == 5
+    full = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_near_dup_candidates(hashes, max_hamming=3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_near_dup_candidates(
+            hashes, max_hamming=3, bucket_cap=3
+        ).collect()
+    }
+    assert capped == full
+    # C(5,2) identicals + (1..5, 7) at hamming 1 + the (6, 7) pair the
+    # star approximation used to lose (6 is > max_hamming from every
+    # identical member, so its ONLY edge is through 7)
+    assert (6, 7, 3) in full
+    assert len(full) == 10 + 5 + 1
 
 
 def test_phash_image_dedup_end_to_end(spark):
