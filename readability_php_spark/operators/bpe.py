@@ -13,7 +13,9 @@ shape mirrors that exactly:
   groupBy — the only corpus-sized shuffle);
 - each merge iteration is vocabulary-sized: adjacent-pair explode +
   sum(cnt) agg (map-side combined), a ONE-row deterministic argmax
-  collect (``n`` desc, pair asc — binary string order in both engines),
+  collect (``n`` desc, pair asc by UTF-8 BYTES — ``encode(l/r)``, since
+  Spark's native string order is UTF-16 code units and disagrees with
+  DuckDB's UTF-8 byte order for supplementary-plane characters),
   and a pure column-algebra fold that rewrites every word's symbol
   array in place (no shuffle);
 - ``localCheckpoint`` per iteration caps lineage exactly like the
@@ -95,12 +97,91 @@ def word_counts(
     )
 
 
+def _apply_merge_local(syms: list, left: str, right: str) -> list:
+    """Driver-side twin of :func:`apply_merge` — the same greedy
+    left-to-right, resume-after-replacement scan."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_train_local(
+    wc: list, merges: int, min_pair_count: int, end_of_word: str
+) -> tuple[list, list]:
+    """Classical incremental-update BPE over an in-memory (word, cnt)
+    list: maintain adjacent-pair counts and a pair→words index; each
+    merge touches only the words containing the winning pair.  Exactly
+    the greedy (count desc, pair asc by code points) trajectory of the
+    per-merge Spark loop — code-point order == UTF-8 byte order, so the
+    tie-break matches both the encode()-byte argmax and DuckDB's binary
+    collation.  Returns ``(merge_rows, [(word, cnt, syms), ...])``."""
+    words = []  # [syms, cnt] per distinct word
+    pair_counts: dict = {}
+    pair_words: dict = {}  # pair -> set of word indexes containing it
+
+    def _pairs_of(syms: list) -> dict:
+        d: dict = {}
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            d[p] = d.get(p, 0) + 1
+        return d
+
+    for wi, (word, cnt) in enumerate(wc):
+        syms = list(word) + [end_of_word]
+        words.append([syms, cnt])
+        for p, k in _pairs_of(syms).items():
+            pair_counts[p] = pair_counts.get(p, 0) + k * cnt
+            pair_words.setdefault(p, set()).add(wi)
+
+    merge_rows: list[tuple] = []
+    for rank in range(merges):
+        if not pair_counts:
+            break
+        (left, right), n = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if n < min_pair_count:
+            break
+        merge_rows.append((rank, left, right, int(n)))
+        for wi in sorted(pair_words.get((left, right), ())):
+            syms, cnt = words[wi]
+            new_syms = _apply_merge_local(syms, left, right)
+            old_p, new_p = _pairs_of(syms), _pairs_of(new_syms)
+            for p in set(old_p) | set(new_p):
+                delta = (new_p.get(p, 0) - old_p.get(p, 0)) * cnt
+                if delta:
+                    c = pair_counts.get(p, 0) + delta
+                    if c > 0:
+                        pair_counts[p] = c
+                    else:
+                        pair_counts.pop(p, None)
+                if p in new_p and p not in old_p:
+                    pair_words.setdefault(p, set()).add(wi)
+                elif p in old_p and p not in new_p:
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(wi)
+                        if not s:
+                            pair_words.pop(p, None)
+            words[wi][0] = new_syms
+    return merge_rows, [
+        (w, int(c), s) for (w, _), (s, c) in zip(wc, words)
+    ]
+
+
 def bpe_train(
     docs: DataFrame,
     merges: int = 100,
     text_col: str = "text",
     min_pair_count: int = 2,
     end_of_word: str = END_OF_WORD,
+    strategy: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Train ``merges`` BPE merges on the corpus.  Returns
     ``(merge_table, encoded_vocab)``:
@@ -113,14 +194,68 @@ def bpe_train(
 
     Stops early when the best remaining pair occurs fewer than
     ``min_pair_count`` times (merging hapax pairs memorizes the corpus).
+
+    ``strategy`` picks where the merge LOOP runs; both produce the
+    identical greedy trajectory (differentially tested), and both train
+    on the distinct-words relation built by the one corpus-sized shuffle
+    of :func:`word_counts`:
+
+    - ``"local"`` (what ``"auto"`` resolves to): collect the
+      Heaps'-bounded (word, cnt) relation to the driver and run the
+      classical incremental-update merge loop in memory — ONE Spark job
+      for the whole training run, driver round-trips CONSTANT in the
+      merge count.  This is the industrial shape (HuggingFace
+      tokenizers, SentencePiece: distributed/streamed word counting, a
+      local learner over the word-count table): at 100 TB the distinct
+      words are ~10^6-10^7 rows (Heaps' law) ≈ tens-to-hundreds of MB
+      driver-side, while a 64k-merge vocabulary under the per-merge
+      loop would be ~64k sequential vocabulary-sized Spark jobs —
+      days of pure scheduler latency no cluster size can buy down.
+    - ``"perjob"``: the fully-distributed per-merge loop (adjacent-pair
+      explode → map-side-combined agg → ONE-row argmax collect → pure
+      column-algebra fold, ``localCheckpoint`` per iteration).  One
+      Spark job + one 1-row collect PER MERGE — the right envelope only
+      when the distinct-word relation itself cannot fit driver memory
+      (e.g. no usable word boundary, so "words" grow with the corpus).
+
     Determinism: the argmax orders by (count desc, left asc, right asc)
     — total, so the trajectory is reproducible cross-run and replayable
     relationally (the DuckDB gate unrolls this loop exactly like the
-    logreg/pagerank/k-means oracles)."""
+    logreg/pagerank/k-means oracles).  The pair tie-break compares UTF-8
+    BYTES (Python code-point order locally, ``F.encode`` in the perjob
+    argmax): Python code-point order, DuckDB's default binary collation,
+    and UTF-8 byte order all agree, while Spark's native string
+    comparison is UTF-16 code units — which sorts supplementary-plane
+    characters (surrogate range) BELOW U+E000..FFFF and would diverge
+    from the oracle on a count-tied astral pair."""
     if merges < 0:
         raise ValueError("merges must be >= 0")
     if min_pair_count < 1:
         raise ValueError("min_pair_count must be >= 1")
+    if strategy not in ("auto", "local", "perjob"):
+        raise ValueError(
+            f"strategy must be 'auto', 'local' or 'perjob', got {strategy!r}"
+        )
+    spark = docs.sparkSession
+    if strategy in ("auto", "local"):
+        # deterministic collect order not required (counts are sums and
+        # the argmax is a global min over the dict), but sort anyway so
+        # the encoded_vocab DataFrame's row order is reproducible
+        wc = sorted(
+            (r.word, int(r.cnt))
+            for r in word_counts(docs, text_col).collect()
+        )
+        merge_rows, seg = _bpe_train_local(
+            wc, merges, min_pair_count, end_of_word
+        )
+        merge_table = spark.createDataFrame(
+            merge_rows,
+            "rank int, left string, right string, pair_count bigint",
+        )
+        enc = spark.createDataFrame(
+            seg, "word string, cnt bigint, syms array<string>"
+        )
+        return merge_table, enc
     w = (
         word_counts(docs, text_col)
         .select(
@@ -130,7 +265,6 @@ def bpe_train(
         )
         .localCheckpoint()
     )
-    spark = docs.sparkSession
     merge_rows: list[tuple] = []
     for rank in range(merges):
         # filter BEFORE building pair structs: sequence(1, size-1) steps
@@ -149,7 +283,11 @@ def bpe_train(
         best = (
             pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .orderBy(
+                F.desc("n"),
+                F.asc(F.encode("l", "UTF-8")),
+                F.asc(F.encode("r", "UTF-8")),
+            )
             .limit(1)
             .collect()
         )

@@ -56,12 +56,13 @@ def _ref_word_counts(texts):
     return wc
 
 
-def _check(spark, texts, merges, min_pair_count=2):
+def _check(spark, texts, merges, min_pair_count=2, strategy="auto"):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
     )
     table, enc = bpe_train(
-        docs, merges=merges, min_pair_count=min_pair_count
+        docs, merges=merges, min_pair_count=min_pair_count,
+        strategy=strategy,
     )
     got_table = [
         (r.rank, r.left, r.right, r.pair_count) for r in table.collect()
@@ -226,3 +227,72 @@ def test_bpe_rejects_bad_params(spark):
         bpe_train(docs, merges=-1)
     with pytest.raises(ValueError):
         bpe_train(docs, merges=1, min_pair_count=0)
+
+
+def test_bpe_argmax_tiebreak_is_byte_order(spark):
+    """A count-tied argmax involving a supplementary-plane symbol must
+    break ties in UTF-8 BYTE order (= Python code-point order = DuckDB's
+    binary collation), not Spark's native UTF-16 code-unit order, which
+    sorts surrogate-pair characters BELOW U+E000..U+FFFF.  After merge 1
+    ('a'+marker, count 2), merges for (U+10000, 'a</w>') and (U+FFFF,
+    'a</w>') are tied at 1: byte order must pick U+FFFF (EF BF BF <
+    F0 90 80 80); UTF-16 order would pick U+10000."""
+    astral, bmp = "\U00010000", "￿"
+    docs = spark.createDataFrame(
+        [(0, f"{astral}a {bmp}a")], "doc_id int, text string"
+    )
+    table, _ = bpe_train(docs, merges=2, min_pair_count=1)
+    rows = {r.rank: (r.left, r.right) for r in table.collect()}
+    assert rows[0] == ("a", END_OF_WORD)
+    assert rows[1] == (bmp, "a" + END_OF_WORD)
+    # and the pure-Python reference agrees (it compares code points)
+    ref_table, _ = _ref_bpe(
+        _ref_word_counts([f"{astral}a {bmp}a"]), 2, min_pair_count=1
+    )
+    assert [(l, r) for _, l, r, _ in ref_table] == [rows[0], rows[1]]
+
+
+def test_bpe_strategies_identical_trajectory(spark):
+    """The driver-local incremental-update trainer (the default — one
+    Spark job, constant driver round-trips) and the fully-distributed
+    per-merge loop produce the IDENTICAL merge table and encoded vocab —
+    on a crafted corpus covering runs/overlaps/ties and on random text.
+    Both are also checked against the flat pure-Python reference via
+    _check below (which recomputes pair counts from scratch each
+    iteration, so agreement also validates the local trainer's
+    incremental pair-count delta updates)."""
+    rng = random.Random(7)
+    rand_texts = [
+        " ".join(
+            "".join(rng.choice("abcde") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 12))
+        )
+        for _ in range(20)
+    ]
+    for texts, merges, mpc in [
+        (["aaaa aaaa aa abab abab", "lower lowest low low lower"], 8, 2),
+        (rand_texts, 15, 1),
+        (["a b", "", "  "], 5, 2),  # early stop / degenerate docs
+    ]:
+        got = {}
+        for strat in ("local", "perjob"):
+            _check(spark, texts, merges, min_pair_count=mpc, strategy=strat)
+            docs = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)],
+                "doc_id int, text string",
+            )
+            table, enc = bpe_train(
+                docs, merges=merges, min_pair_count=mpc, strategy=strat
+            )
+            got[strat] = (
+                [(r.rank, r.left, r.right, r.pair_count)
+                 for r in table.collect()],
+                {r.word: (r.cnt, list(r.syms)) for r in enc.collect()},
+            )
+        assert got["local"] == got["perjob"]
+
+
+def test_bpe_rejects_bad_strategy(spark):
+    docs = spark.createDataFrame([(0, "x y")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        bpe_train(docs, merges=1, strategy="turbo")
