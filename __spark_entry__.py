@@ -27,7 +27,6 @@ from readability_php_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
     exact_substring_dedup,
     minhash_lsh_candidates,
-    simhash_near_dup_candidates,
 )
 from readability_php_spark.operators.extract import extract_operator  # noqa: E402
 from readability_php_spark.operators.multimodal import (  # noqa: E402
@@ -422,22 +421,118 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.join(c, "doc_id").orderBy("doc_id")
 
 
-def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates on the synthetic-duplicate corpus.
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wave-incremental dedup chain — the per-wave shape
+    ``jobs/dedup_job.py`` runs against a growing corpus: verbatim-row
+    collapse → intra-wave exact dedup (min-id keeper per fingerprint) →
+    Bloom-pruned exact verification against the corpus (bit-identical to
+    a plain fingerprint anti-join, which is exactly how the oracle
+    replays it) → bootstrap ``incremental_fuzzy_dedup`` (MinHash bands
+    for the corpus computed ONCE, wave↔corpus band-collision candidates,
+    intra-wave bucket pairs, n-gram Jaccard verification, JOINT
+    connected components with the corpus-wins keeper rule) returning the
+    kept wave and the complete signature table.
 
-    Uses the md5-digit hash variant so DuckDB can reproduce the exact
-    simhash values (full value-hash oracle); production dedup at scale uses
-    the default xxhash64 variant of the same operator (unit-tested for the
-    identical pigeonhole/banding semantics)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
-        F.col("doc_id") < 100
+    The crafted wave covers every decision class: exact cross-corpus
+    dups (ids +1e6), near cross-corpus dups (+2e6, ' extra near dup
+    token' suffix), fresh docs (100-149), an intra-wave exact dup of a
+    wave doc (3000100, ingested as a verbatim DOUBLE row), and an
+    intra-wave near dup (4000110).
+
+    Output: one row per corpus ∪ wave id — (doc_id, source, kept,
+    n_sig_rows), where n_sig_rows is the id's row count in the
+    append_bands signature table (2 = the bands=2 rows of every kept
+    shingle-ready doc; corpus rows included, evidencing bootstrap
+    completeness; 0 for dropped or shingle-less docs).  The oracle
+    replays every stage relationally with the same CTE family as
+    training_prep_fuzzy (fingerprint row_number, exact anti-join,
+    minhash/band/Jaccard, recursive-CTE closure) plus the corpus-wins
+    cluster rule."""
+    from readability_php_spark.operators.bloom import (
+        bloom_incremental_exact_dedup,
     )
-    dupes = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
-    return (
-        simhash_near_dup_candidates(docs.unionByName(dupes), hash_fn="md5")
-        .filter(F.col("hamming") <= 3)
-        .orderBy("doc_a", "doc_b")
+    from readability_php_spark.operators.dedup import (
+        exact_dedup,
+        incremental_fuzzy_dedup,
     )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    near_sfx = F.concat(F.col("text"), F.lit(" extra near dup token"))
+    wave = (
+        docs.filter(F.col("doc_id") < 10)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+            .select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                near_sfx.alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") == 100)
+            .crossJoin(spark.range(2))  # verbatim double ingestion
+            .select(
+                F.lit(3000100).cast("long").alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") == 110).select(
+                F.lit(4000110).cast("long").alias("doc_id"),
+                near_sfx.alias("text"),
+            )
+        )
+    )
+    # stage checkpoints mirror jobs/dedup_job.py: without them the
+    # union+dropDuplicates wave lineage (and the bloom probe chain)
+    # replays inside every downstream consumer — the fuzzy stage's
+    # clustering loop alone re-reads its input once per CC iteration
+    wave = wave.dropDuplicates(["doc_id", "text"]).localCheckpoint()
+    intra = exact_dedup(wave, id_col="doc_id").localCheckpoint()
+    after_exact = (
+        bloom_incremental_exact_dedup(
+            intra, corpus, m_bits=1 << 16, k=5, id_col="doc_id"
+        )
+        .filter(~F.col("is_dup"))
+        .drop("bloom_candidate", "is_dup")
+        .localCheckpoint()
+    )
+    kept, bands = incremental_fuzzy_dedup(
+        after_exact,
+        corpus,
+        id_col="doc_id",
+        num_hashes=8,
+        bands=2,
+        shingle_n=3,
+        threshold=0.8,
+        corpus_bands=None,
+    )
+    sig = bands.groupBy("doc_id").agg(F.count("*").alias("n"))
+    out_corpus = corpus.select("doc_id").join(sig, "doc_id", "left").select(
+        "doc_id",
+        F.lit("corpus").alias("source"),
+        F.lit(True).alias("kept"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_sig_rows"),
+    )
+    out_wave = (
+        wave.select("doc_id")
+        .join(
+            kept.select("doc_id").withColumn("k", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        .join(sig, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.lit("wave").alias("source"),
+            F.coalesce("k", F.lit(False)).alias("kept"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_sig_rows"),
+        )
+    )
+    return out_corpus.unionByName(out_wave).orderBy("source", "doc_id")
 
 
 def q_cosine_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -974,31 +1069,73 @@ def q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training + encode (Sennrich et al.
-    2016): 12 merges learned on the distinct-words relation of the
-    corpus, then every doc's token count under the trained vocab.  The
-    oracle unrolls the full training loop relationally (pair-count
-    argmax per iteration; greedy non-overlapping merge application via
-    the gaps-and-islands position-parity law — equivalent to the Spark
-    fold), so a divergence in ANY merge decision or application shifts
-    some word's token count.  min_pair_count=1 pins exactly 12
-    iterations, matching the fixed unroll."""
+    """Distributed BPE tokenizer training + encode + BPE-BUDGETED
+    chunk→pack (Sennrich et al. 2016; the composition
+    ``run_training_prep(tokenizer=...)`` runs): 12 merges learned on the
+    distinct-words relation of the corpus, every doc's token count under
+    the trained vocab, then the corpus chunked into 64-BPE-token windows
+    by the cost-prefix law (``chunk_documents_by_cost``) and the chunks
+    packed into 256-BPE-token sequences per lang — token budgets
+    measured in TRAINED-TOKENIZER tokens end to end.  The oracle unrolls
+    the full training loop relationally (pair-count argmax per
+    iteration; greedy non-overlapping merge application via the
+    gaps-and-islands position-parity law — equivalent to the Spark
+    fold), derives the per-word cost relation from the trained vocab,
+    and chains it into the positioned-word prefix-sum chunk law and the
+    packing law — so a divergence in ANY merge decision, merge
+    application, word cost, window boundary, or pack assignment flips
+    some row.  min_pair_count=1 pins exactly 12 iterations, matching
+    the fixed unroll.  chunk_md5 pins exact window CONTENTS.  The
+    merge_table is omitted from the encode deliberately: scoring the
+    training corpus has no OOV words, so the trained vocab IS the cost
+    model; the OOV encode path is differential-tested in tests/
+    test_bpe.py (test_bpe_token_counts_oov_applies_merges) and the
+    pipeline e2e (test_training_prep_bpe_tokenizer_budgets)."""
     from readability_php_spark.operators.bpe import bpe_token_counts, bpe_train
+    from readability_php_spark.operators.packing import (
+        chunk_documents_by_cost,
+        pack_documents,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text"
+        "doc_id", "text", "lang"
     ).filter(F.col("doc_id") < 150)
-    # merge_table omitted deliberately: scoring the training corpus has
-    # no OOV words, so the fallback path IS the true encode here, and
-    # skipping the (empty) OOV anti-join + fold chain keeps the gate
-    # ~10 s lighter; the OOV encode path is differential-tested in
-    # tests/test_bpe.py (test_bpe_token_counts_oov_applies_merges)
     _, enc = bpe_train(docs, merges=12, min_pair_count=1)
-    return bpe_token_counts(docs, enc).select(
+    counts = bpe_token_counts(docs, enc)
+    cost_vocab = enc.select("word", F.size("syms").alias("word_tokens"))
+    chunks = chunk_documents_by_cost(
+        docs, cost_vocab, max_tokens=64, id_col="doc_id"
+    )
+    units = chunks.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id",
-        F.col("n_words").cast("long").alias("n_words"),
-        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
+        "chunk_id",
+        "lang",
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("unit_id"),
+        F.col("n_chunk_tokens").alias("n_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+    packed = pack_documents(
+        units.select("lang", "unit_id", "n_tokens"),
+        budget=256, group_cols=("lang",), order_col="unit_id",
+        tokens_col="n_tokens",
+    )
+    return (
+        packed.join(
+            units.select("unit_id", "doc_id", "chunk_id", "chunk_md5"),
+            "unit_id",
+        )
+        .join(counts, "doc_id")
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.col("n_tokens").cast("long").alias("n_chunk_tokens"),
+            "chunk_md5",
+            "pack_id",
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
 
 
 def q_pack_documents_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1498,8 +1635,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pinned) to seat semdedup; hash_split retired (its md5-prefix →
     uint32 threshold law is replayed verbatim in the stratified_sample
     and lang_temperature_sample oracles, plus direct pytest) to seat
-    bpe_tokenize.  Newest / riskiest gates lead."""
+    bpe_tokenize.  Round-6: simhash_candidates retired to a full pytest
+    differential (pure-Python md5-simhash + pigeonhole replay,
+    pair-exact on the same synthetic-dup corpus —
+    tests/test_spark_ops.py::test_simhash_candidates_differential) to
+    seat incremental_dedup — the wave-incremental chain dedup_job runs
+    (intra-wave exact → Bloom-pruned corpus verify → incremental fuzzy
+    with the corpus-wins keeper), previously the only operator family
+    without an oracle row.  Newest / riskiest gates lead."""
     return {
+        "incremental_dedup": q_incremental_dedup,
         "extract_roundtrip": q_extract_roundtrip,
         "extract_stats": q_extract_stats,
         "substring_dedup": q_substring_dedup,
@@ -1518,7 +1663,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": q_dsir_importance,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "quality_rules": q_quality_rules,
-        "simhash_candidates": q_simhash_candidates,
         "cosine_ann_topk": q_cosine_ann_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1819,14 +1963,49 @@ def _bpe_sql(iters: int = 12, max_id: int = 150) -> str:
               SELECT doc_id, unnest(list_filter(
                        string_split_regex(trim(text), '\\s+'),
                        x -> x <> '')) AS word
-              FROM documents WHERE doc_id < {max_id})""")
+              FROM documents WHERE doc_id < {max_id}),
+            doc_counts AS (
+              SELECT doc_id, count(*)::BIGINT AS n_words,
+                     sum(word_tokens)::BIGINT AS n_bpe_tokens
+              FROM dw JOIN final USING (word)
+              GROUP BY doc_id),
+            toks AS (
+              SELECT doc_id, lang, list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       x -> x <> '') AS a
+              FROM documents WHERE doc_id < {max_id}),
+            pw AS (
+              SELECT doc_id, lang, a, unnest(range(1, len(a) + 1)) AS pos
+              FROM toks WHERE len(a) > 0),
+            pc AS (
+              SELECT p.doc_id, p.lang, p.pos, p.a[p.pos] AS word,
+                     f.word_tokens
+              FROM pw p JOIN final f ON f.word = p.a[p.pos]),
+            pre AS (
+              SELECT *, sum(word_tokens) OVER (PARTITION BY doc_id
+                          ORDER BY pos ROWS UNBOUNDED PRECEDING)
+                        - word_tokens AS prefix
+              FROM pc),
+            ch AS (
+              SELECT doc_id, any_value(lang) AS lang,
+                     (prefix // 64) AS chunk_id,
+                     sum(word_tokens)::BIGINT AS n_chunk_tokens,
+                     md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5
+              FROM pre GROUP BY doc_id, (prefix // 64)),
+            u AS (SELECT *, doc_id * 1000 + chunk_id AS unit_id FROM ch),
+            pk AS (
+              SELECT *, sum(n_chunk_tokens) OVER (PARTITION BY lang
+                          ORDER BY unit_id ROWS UNBOUNDED PRECEDING)
+                        - n_chunk_tokens AS pprefix
+              FROM u)""")
     return (
         "WITH" + ",".join(ctes)
         + """
-            SELECT doc_id, count(*)::BIGINT AS n_words,
-                   sum(word_tokens)::BIGINT AS n_bpe_tokens
-            FROM dw JOIN final USING (word)
-            GROUP BY doc_id ORDER BY doc_id"""
+            SELECT k.doc_id, k.chunk_id::BIGINT AS chunk_id,
+                   d.n_words, d.n_bpe_tokens, k.n_chunk_tokens,
+                   k.chunk_md5, (k.pprefix // 256)::BIGINT AS pack_id
+            FROM pk k JOIN doc_counts d USING (doc_id)
+            ORDER BY k.doc_id, k.chunk_id"""
     )
 
 
@@ -3100,50 +3279,115 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
-        # SimHash: md5-digit bit source (bit i = hex digit i//4 of
-        # md5(token), shift i%4) is computable in both engines; bit 63 is
-        # the signed-min literal because DuckDB refuses 1::BIGINT << 63.
-        "simhash_candidates": """
-            WITH base AS (
-                SELECT doc_id, text FROM documents WHERE doc_id < 100
-                UNION ALL
-                SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100
-            ),
-            toks AS (
-                SELECT doc_id,
-                       unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
-                FROM base
-            ),
-            votes AS (
-                SELECT doc_id, i,
-                       SUM(CASE WHEN ((instr('0123456789abcdef', substr(md5(tok), (i // 4) + 1, 1)) - 1)
-                                      >> (i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-                FROM toks CROSS JOIN (SELECT unnest(range(0, 64)) AS i) bits
-                GROUP BY doc_id, i
-            ),
-            sh AS (
-                SELECT doc_id,
-                       CAST(SUM(CASE WHEN vote > 0 THEN
-                                  CASE WHEN i = 63 THEN -9223372036854775808
-                                       ELSE (1::BIGINT << i) END
-                                ELSE 0 END) AS BIGINT) AS sh
-                FROM votes GROUP BY doc_id
-            ),
-            blocks AS (
-                SELECT doc_id, sh, b AS block, (sh >> (b * 16)) & 65535 AS val
-                FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
-            ),
-            pairs AS (
-                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                                a.sh AS sh_a, b.sh AS sh_b
-                FROM blocks a
-                JOIN blocks b ON a.block = b.block AND a.val = b.val
-                            AND a.doc_id < b.doc_id
-            )
-            SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
-            FROM pairs
-            WHERE bit_count(xor(sh_a, sh_b)) <= 3
-            ORDER BY doc_a, doc_b
+        # incremental_dedup: full relational replay of the wave chain —
+        # distinct rows → fingerprint row_number (intra exact) → exact
+        # anti-join vs the corpus (the Bloom prune is result-invariant by
+        # contract, so the oracle replays its SEMANTICS) → the
+        # minhash/band/Jaccard CTE family shared with training_prep_fuzzy
+        # over wave ∪ corpus → recursive closure → corpus-wins keeper.
+        "incremental_dedup": f"""
+            WITH RECURSIVE
+            corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            wave_raw AS (
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id < 10
+              UNION ALL
+              SELECT doc_id + 2000000, text || ' extra near dup token'
+              FROM documents WHERE doc_id >= 10 AND doc_id < 20
+              UNION ALL
+              SELECT doc_id, text
+              FROM documents WHERE doc_id >= 100 AND doc_id < 150
+              UNION ALL
+              SELECT 3000100, text FROM documents WHERE doc_id = 100
+              UNION ALL
+              SELECT 3000100, text FROM documents WHERE doc_id = 100
+              UNION ALL
+              SELECT 4000110, text || ' extra near dup token'
+              FROM documents WHERE doc_id = 110),
+            wave AS (SELECT DISTINCT doc_id, text FROM wave_raw),
+            intra AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY {_FP}
+                                          ORDER BY doc_id) AS rn
+                FROM wave) WHERE rn = 1),
+            cfp AS (SELECT {_FP} AS fp FROM corpus),
+            after_exact AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text, {_FP} AS fp FROM intra)
+              WHERE fp NOT IN (SELECT fp FROM cfp)),
+            pool AS (
+              SELECT doc_id, text, TRUE AS is_wave FROM after_exact
+              WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+              UNION ALL
+              SELECT doc_id, text, FALSE FROM corpus
+              WHERE len(string_split_regex(trim(text), '\\s+')) >= 3),
+            sh AS (SELECT doc_id, is_wave, {_shingle_sql()} AS sh FROM pool),
+            sig AS (SELECT doc_id, is_wave, {_minhash_sql(8)} AS sig FROM sh),
+            bands AS (
+              SELECT doc_id, is_wave, unnest(range(0, 2)) AS band, sig
+              FROM sig),
+            bb AS (
+              SELECT doc_id, is_wave, band,
+                     md5(array_to_string(
+                       list_slice(sig, band*4 + 1, band*4 + 4), '|'))
+                       AS band_hash
+              FROM bands),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bb a JOIN bb b
+                ON a.band = b.band AND a.band_hash = b.band_hash
+               AND a.is_wave AND b.is_wave AND a.doc_id < b.doc_id
+              UNION ALL
+              SELECT DISTINCT a.doc_id, c.doc_id
+              FROM bb a JOIN bb c
+                ON a.band = c.band AND a.band_hash = c.band_hash
+               AND a.is_wave AND NOT c.is_wave),
+            verified AS (
+              SELECT c.doc_a, c.doc_b
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b
+              WHERE round(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                    THEN len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(a.sh || b.sh))
+                    ELSE 0.0 END, 4) >= 0.8),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM verified
+              UNION ALL SELECT doc_b, doc_a FROM verified),
+            reach(node, label) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node),
+            clusters AS (
+              SELECT node AS doc_id, min(label) AS cluster_id
+              FROM reach GROUP BY node),
+            has_corpus AS (
+              SELECT DISTINCT cluster_id FROM clusters
+              JOIN corpus USING (doc_id)),
+            dead AS (
+              SELECT cl.doc_id FROM clusters cl
+              JOIN after_exact ae ON ae.doc_id = cl.doc_id
+              WHERE cl.cluster_id IN (SELECT cluster_id FROM has_corpus)
+                 OR cl.doc_id <> cl.cluster_id),
+            kept_wave AS (
+              SELECT doc_id FROM after_exact
+              WHERE doc_id NOT IN (SELECT doc_id FROM dead))
+            SELECT doc_id, 'corpus' AS source, TRUE AS kept,
+                   (CASE WHEN doc_id IN (SELECT doc_id FROM pool
+                                         WHERE NOT is_wave)
+                         THEN 2 ELSE 0 END)::BIGINT AS n_sig_rows
+            FROM corpus
+            UNION ALL
+            SELECT w.doc_id, 'wave',
+                   w.doc_id IN (SELECT doc_id FROM kept_wave),
+                   (CASE WHEN w.doc_id IN (SELECT doc_id FROM kept_wave)
+                          AND w.doc_id IN (SELECT doc_id FROM pool
+                                           WHERE is_wave)
+                         THEN 2 ELSE 0 END)::BIGINT
+            FROM wave w
+            ORDER BY source, doc_id
         """,
         # ivf_topk: the Spark k-means is fully deterministic (lowest-id
         # init, 6-decimal-rounded means, lower-cid tie-break), so the oracle

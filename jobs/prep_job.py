@@ -67,6 +67,21 @@ def main() -> None:
                     help="seeded deterministic global shuffle before "
                          "packing (mixes sources within each training "
                          "sequence; default keeps url order)")
+    ap.add_argument("--chunk-max-tokens", type=int, default=None,
+                    help="context-window chunking before packing: cut "
+                         "each doc into windows of this many tokens "
+                         "(whitespace tokens, or trained-BPE tokens "
+                         "under --tokenizer-dir)")
+    ap.add_argument("--chunk-stride", type=int, default=None,
+                    help="window stride for overlapped chunking "
+                         "(whitespace mode only)")
+    ap.add_argument("--tokenizer-dir", default=None,
+                    help="trained-BPE tokenizer dir holding merges/ and "
+                         "vocab/ parquet (bpe_train's merge_table and "
+                         "encoded_vocab written with df.write.parquet): "
+                         "switches min-tokens / chunk / pack budgets "
+                         "from whitespace words to real tokenizer "
+                         "tokens")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="stage-checkpoint path: the extract+dedup output "
                          "commits here and a rerun resumes from it")
@@ -120,6 +135,16 @@ def main() -> None:
         quality_dim=args.quality_dim,
         quality_iters=args.quality_iters,
         classifier_threshold=args.quality_threshold,
+        chunk_max_tokens=args.chunk_max_tokens,
+        chunk_stride=args.chunk_stride,
+        tokenizer=(
+            (
+                spark.read.parquet(args.tokenizer_dir.rstrip("/") + "/merges"),
+                spark.read.parquet(args.tokenizer_dir.rstrip("/") + "/vocab"),
+            )
+            if args.tokenizer_dir
+            else None
+        ),
         shuffle_seed=args.shuffle_seed,
         checkpoint_dir=args.checkpoint_dir,
     )

@@ -329,6 +329,58 @@ def bpe_encode_words(
     return out
 
 
+def bpe_word_cost_vocab(
+    docs: DataFrame,
+    encoded_vocab: DataFrame,
+    merge_table: "DataFrame | None" = None,
+    text_col: str = "text",
+    end_of_word: str = END_OF_WORD,
+) -> DataFrame:
+    """The per-word token-cost relation ``(word, word_tokens)`` a
+    BPE-budgeted consumer joins against: trained-vocab words cost their
+    trained segmentation size; corpus words OUTSIDE the trained vocab
+    are segmented by applying the learned merges when ``merge_table`` is
+    given (the true open-vocabulary encode), else fall back to their
+    unmerged symbol count (chars + marker — a conservative upper bound).
+
+    Scale shape: one corpus word scan → distinct (vocabulary-sized,
+    Heaps'-bounded) → anti-join against the trained vocab → the OOV fold
+    chain runs over OOV words only.  The result is vocabulary-sized by
+    construction — always the broadcast side of any corpus join.  Used
+    by :func:`bpe_token_counts` and by the training-prep pipeline's
+    BPE-budgeted chunking/packing (``run_training_prep(tokenizer=...)``).
+    ``end_of_word`` must match the marker the tokenizer was TRAINED
+    with — marker-adjacent merges never fire on a mismatched marker."""
+    dw = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = encoded_vocab.select(
+        "word", F.size("syms").alias("word_tokens")
+    )
+    if merge_table is None:
+        return (
+            dw.distinct()
+            .join(vocab, "word", "left")
+            .select(
+                "word",
+                F.coalesce(
+                    F.col("word_tokens"), F.length("word") + F.lit(1)
+                ).alias("word_tokens"),
+            )
+        )
+    # k rows — the tokenizer itself, bounded by construction
+    merges = [
+        (r.left, r.right) for r in merge_table.orderBy("rank").collect()
+    ]
+    oov = (
+        dw.distinct().join(vocab.select("word"), "word", "left_anti")
+    )
+    oov_vocab = bpe_encode_words(
+        oov, merges, end_of_word=end_of_word
+    ).select("word", F.size("syms").alias("word_tokens"))
+    return vocab.unionByName(oov_vocab)
+
+
 def bpe_token_counts(
     docs: DataFrame,
     encoded_vocab: DataFrame,
@@ -353,28 +405,21 @@ def bpe_token_counts(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
-    vocab = encoded_vocab.select(
-        "word", F.size("syms").alias("word_tokens")
-    )
     if merge_table is not None:
-        # k rows — the tokenizer itself, bounded by construction
-        merges = [
-            (r.left, r.right)
-            for r in merge_table.orderBy("rank").collect()
-        ]
-        oov = (
-            dw.select("word")
-            .distinct()
-            .join(vocab.select("word"), "word", "left_anti")
+        full_vocab = bpe_word_cost_vocab(
+            docs,
+            encoded_vocab,
+            merge_table,
+            text_col=text_col,
+            end_of_word=end_of_word,
         )
-        oov_vocab = bpe_encode_words(
-            oov, merges, end_of_word=end_of_word
-        ).select("word", F.size("syms").alias("word_tokens"))
-        full_vocab = vocab.unionByName(oov_vocab)
         joined = dw.join(F.broadcast(full_vocab), "word").select(
             id_col, "word_tokens"
         )
     else:
+        vocab = encoded_vocab.select(
+            "word", F.size("syms").alias("word_tokens")
+        )
         joined = dw.join(F.broadcast(vocab), "word", "left").select(
             id_col,
             F.coalesce(

@@ -115,6 +115,105 @@ def pack_stats(packed: DataFrame, budget: int,
     )
 
 
+def chunk_documents_by_cost(
+    docs: DataFrame,
+    cost_vocab: DataFrame,
+    max_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking under a PER-WORD COST model — the
+    trained-tokenizer complement of :func:`chunk_documents`: window
+    budgets are measured in real tokenizer tokens (``cost_vocab`` maps
+    ``word → word_tokens``, e.g. from
+    :func:`~readability_php_spark.operators.bpe.bpe_word_cost_vocab`)
+    instead of whitespace words, which under-count CJK/code and
+    over-count prose by 1.3-2× against any real BPE vocabulary.
+
+    Law: a word belongs to the window in which its FIRST token would
+    land under plain concatenation —
+    ``chunk_id = floor(cost_prefix / max_tokens)`` — the exact law
+    :func:`pack_documents` applies one level up, so chunk-then-pack uses
+    one budget arithmetic end to end, and the window prefix-sum is
+    replayable in any SQL engine (the DuckDB gate does).  Consequences,
+    both inherited from the packing law: a chunk may EXCEED
+    ``max_tokens`` by up to its boundary-straddling word's cost − 1
+    (costs are word-atomic — a window never splits a word), and chunk
+    ids may SKIP when one word's cost spans multiple windows (they stay
+    strictly increasing per document).  Windows are non-overlapping; for
+    stride-overlapped windows use the whitespace
+    :func:`chunk_documents` (a stride has no meaning in cost space —
+    restarting a window mid-word would split a token).
+
+    Emits ``(id_col, chunk_id, n_chunk_tokens, chunk_text)`` —
+    ``n_chunk_tokens`` is the chunk's COST sum (the budget metric, what
+    downstream packing should consume); words missing from
+    ``cost_vocab`` cost their unmerged symbol count (chars + marker),
+    matching ``bpe_token_counts``' fallback.  ``chunk_text`` is the
+    chunk's words re-joined with single spaces (the same lossy-
+    whitespace normalization ``chunk_documents`` documents).
+
+    Scale shape: one corpus word explode → broadcast join against the
+    vocabulary-sized cost relation → ONE hash shuffle on the doc id
+    (the window; the per-(id, chunk) re-aggregation reuses the same
+    partitioning).  No stage is quadratic; the cost relation is always
+    the broadcast side."""
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    words = (
+        docs.select(F.col(id_col).alias("id"), toks.alias("a"))
+        .filter(F.size("a") > 0)
+        .select("id", F.posexplode("a").alias("pos", "word"))
+    )
+    costed = words.join(
+        F.broadcast(cost_vocab.select("word", "word_tokens")), "word", "left"
+    ).select(
+        "id",
+        "pos",
+        "word",
+        F.coalesce(
+            F.col("word_tokens"), F.length("word") + F.lit(1)
+        ).alias("cost"),
+    )
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = costed.select(
+        "id",
+        "pos",
+        "word",
+        "cost",
+        F.floor((F.sum("cost").over(w) - F.col("cost")) / max_tokens)
+        .cast("bigint")
+        .alias("chunk_id"),
+    )
+    return (
+        assigned.groupBy("id", "chunk_id")
+        .agg(
+            F.sum("cost").alias("n_chunk_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.getField("word"),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "chunk_id",
+            "n_chunk_tokens",
+            "chunk_text",
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     max_tokens: int,

@@ -101,6 +101,7 @@ def run_training_prep(
     chunk_max_tokens: Optional[int] = None,
     chunk_stride: Optional[int] = None,
     shuffle_seed: Optional[int] = None,
+    tokenizer: Optional[tuple] = None,
     checkpoint_dir: Optional[str] = None,
 ) -> PrepResult:
     """pages(url, html[, lang]) → packed training rows at ``output_path``
@@ -175,6 +176,29 @@ def run_training_prep(
     runs of spaces (line/paragraph structure) collapse; case is
     preserved.  Leave ``chunk_max_tokens=None`` to ship verbatim text.
 
+    ``tokenizer`` — a ``(merge_table, encoded_vocab)`` pair as returned
+    by :func:`~readability_php_spark.operators.bpe.bpe_train` — switches
+    EVERY token budget in the pipeline from whitespace word counts to
+    real tokenizer token counts: ``n_tokens`` (and thus the
+    ``min_tokens`` filter), the ``chunk_max_tokens`` windows, and the
+    ``pack_budget`` packing are all measured in BPE tokens of the
+    trained vocabulary.  Whitespace counts under-fill CJK/code and
+    over-fill prose by 1.3-2× against any real vocabulary — training
+    sequences are budgeted in tokenizer tokens, so a tokenizer-aware
+    prep run should always pass one.  Cost model: per-word trained
+    segmentation size; words outside the trained vocabulary are
+    segmented by applying the learned merges (the open-vocab encode),
+    computed ONCE into a vocabulary-sized (word, word_tokens) relation
+    that every consumer broadcast-joins (one extra corpus word scan +
+    the OOV fold chain over OOV words only).  Chunking under a
+    tokenizer uses the cost-model law of
+    :func:`~readability_php_spark.operators.packing.chunk_documents_by_cost`
+    (non-overlapping; ``chunk_stride`` is whitespace-indexed and is
+    rejected in combination — a stride has no meaning in cost space).
+    Train the tokenizer on the corpus first (``bpe_train`` — typically
+    on a prior prep output or a sample); the classifier/DSIR stages are
+    unaffected (they hash words, not tokens).
+
     ``shuffle_seed`` orders packing by a seeded keyed hash instead of
     the unit id: url order fills each training sequence with one site's
     adjacent pages; the shuffle mixes sources within every pack, and —
@@ -196,6 +220,18 @@ def run_training_prep(
     tune_session_for_extraction(spark)
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
     # fail before the corpus extracts, not an hour into the run
+    if tokenizer is not None:
+        if not (isinstance(tokenizer, tuple) and len(tokenizer) == 2):
+            raise ValueError(
+                "tokenizer must be the (merge_table, encoded_vocab) pair "
+                "returned by bpe_train"
+            )
+        if chunk_stride is not None:
+            raise ValueError(
+                "chunk_stride is whitespace-token-indexed and has no "
+                "meaning under a tokenizer cost model — BPE-budgeted "
+                "chunking is non-overlapping (leave chunk_stride=None)"
+            )
     if dsir_target is not None and dsir_budget is None:
         raise ValueError(
             "dsir_target requires dsir_budget (how many docs to keep)"
@@ -371,10 +407,48 @@ def run_training_prep(
             .select("url", "lang", "text")
         )
 
-    with_tokens = filtered.select(
-        "url", "lang", "text",
-        token_count(F.col("text")).alias("n_tokens"),
-    ).filter(F.col("n_tokens") >= min_tokens)
+    cost_vocab = None
+    if tokenizer is not None:
+        from ..operators.bpe import bpe_word_cost_vocab
+
+        merge_table, encoded_vocab = tokenizer
+        # vocabulary-sized by construction (trained vocab + this
+        # corpus' OOV words, Heaps'-bounded) — checkpoint once, every
+        # consumer (doc counts here, cost-model chunking below)
+        # broadcast-joins it instead of re-running the OOV fold chain
+        cost_vocab = bpe_word_cost_vocab(
+            filtered, encoded_vocab, merge_table, text_col="text"
+        ).localCheckpoint()
+        doc_tokens = (
+            filtered.select(
+                "url",
+                F.explode(
+                    F.filter(
+                        F.split(F.trim(F.col("text")), r"\s+"),
+                        lambda x: x != F.lit(""),
+                    )
+                ).alias("word"),
+            )
+            .join(F.broadcast(cost_vocab), "word")
+            .groupBy("url")
+            .agg(F.sum("word_tokens").alias("n_tokens"))
+        )
+        # left join + zero-fill: zero-word docs have no word rows but
+        # must still flow through the min_tokens filter like the
+        # whitespace path (they only survive min_tokens=0)
+        with_tokens = (
+            filtered.join(doc_tokens, "url", "left")
+            .select(
+                "url", "lang", "text",
+                F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            )
+        )
+    else:
+        with_tokens = filtered.select(
+            "url", "lang", "text",
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+    with_tokens = with_tokens.filter(F.col("n_tokens") >= min_tokens)
 
     if quality_labels is not None:
         if classifier is not None:
@@ -476,19 +550,30 @@ def run_training_prep(
         )
 
     if chunk_max_tokens is not None:
-        from ..operators.packing import chunk_documents
-
         # chunk down, then pack up: the packing unit becomes the chunk,
         # keyed "url#chunk_id" (globally unique — url is, and chunk_id is
-        # dense per url).  parent_url keeps document lineage and is the
-        # split key below.
-        chunks = chunk_documents(
-            with_tokens,
-            max_tokens=chunk_max_tokens,
-            stride=chunk_stride,
-            text_col="text",
-            id_col="url",
-        )
+        # strictly increasing per url).  parent_url keeps document
+        # lineage and is the split key below.
+        if cost_vocab is not None:
+            from ..operators.packing import chunk_documents_by_cost
+
+            chunks = chunk_documents_by_cost(
+                with_tokens,
+                cost_vocab,
+                max_tokens=chunk_max_tokens,
+                text_col="text",
+                id_col="url",
+            )
+        else:
+            from ..operators.packing import chunk_documents
+
+            chunks = chunk_documents(
+                with_tokens,
+                max_tokens=chunk_max_tokens,
+                stride=chunk_stride,
+                text_col="text",
+                id_col="url",
+            )
         units = chunks.join(with_tokens.select("url", "lang"), "url").select(
             F.concat(
                 F.col("url"), F.lit("#"), F.col("chunk_id").cast("string")

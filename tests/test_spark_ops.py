@@ -388,6 +388,73 @@ def test_training_prep_chunk_then_pack(spark, tmp_path):
         assert ids == list(range(len(ids)))
 
 
+def test_training_prep_bpe_tokenizer_budgets(spark, tmp_path):
+    """run_training_prep(tokenizer=...) budgets EVERYTHING in trained-BPE
+    tokens: every output row's n_tokens equals the sum of per-word costs
+    under the trained vocab (open-vocab fallback included), differs from
+    the whitespace count, and chunk windows follow the cost-prefix law."""
+    from readability_php_spark.operators.bpe import bpe_train
+    from readability_php_spark.plans.training_pipeline import run_training_prep
+
+    pages = documents_corpus_df(spark, SF).filter(F.col("doc_id") < 40).select(
+        "url", "html"
+    )
+    plain_dir = str(tmp_path / "plain")
+    bpe_dir = str(tmp_path / "bpe")
+    run_training_prep(
+        spark, pages, plain_dir, min_tokens=10, pack_budget=120, fuzzy=False,
+    )
+    # the documented workflow: train the tokenizer on prior prep output
+    corpus = spark.read.parquet(plain_dir).select("text")
+    tok = bpe_train(corpus, merges=10, min_pair_count=2)
+    res = run_training_prep(
+        spark, pages, bpe_dir, min_tokens=10, pack_budget=120, fuzzy=False,
+        chunk_max_tokens=40, tokenizer=tok,
+    )
+    assert res.docs_final > 0
+    out = spark.read.parquet(bpe_dir).collect()
+    vocab = {r.word: len(r.syms) for r in tok[1].collect()}
+
+    def cost(w):
+        return vocab.get(w, len(w) + 1)
+
+    # n_tokens IS the BPE cost of the row's text — for every row
+    for r in out:
+        assert r.n_tokens == sum(cost(w) for w in r.text.split()), r.url
+    # and BPE costing is actually in effect (≠ whitespace counts)
+    assert any(r.n_tokens != len(r.text.split()) for r in out)
+    # chunk windows: replay the cost-prefix law on one multi-chunk parent
+    multi = {}
+    for r in out:
+        multi.setdefault(r.parent_url, []).append(r)
+    parent, chunks = next(
+        (p, rs) for p, rs in multi.items() if len(rs) > 1
+    )
+    chunks.sort(key=lambda r: int(r.url.split("#")[1]))
+    words = [w for r in chunks for w in r.text.split()]
+    prefix, expect = 0, {}
+    for w in words:
+        expect.setdefault(prefix // 40, []).append(w)
+        prefix += cost(w)
+    got_ids = [int(r.url.split("#")[1]) for r in chunks]
+    assert got_ids == sorted(expect)
+    assert [r.text.split() for r in chunks] == [
+        expect[k] for k in sorted(expect)
+    ]
+    # guards: stride has no meaning in cost space; malformed tokenizer
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        run_training_prep(
+            spark, pages, str(tmp_path / "x"), tokenizer=tok,
+            chunk_max_tokens=40, chunk_stride=30,
+        )
+    with _pytest.raises(ValueError, match="merge_table"):
+        run_training_prep(
+            spark, pages, str(tmp_path / "y"), tokenizer=(tok[0],),
+        )
+
+
 def test_contamination_flags(spark):
     from readability_php_spark.operators.dedup import contamination_flags
 
@@ -986,6 +1053,60 @@ def test_simhash_identical_docs_zero_hamming(spark):
     exact = {(r.doc_a, r.doc_b) for r in cands.collect() if r.hamming == 0}
     for i in range(20):
         assert (i, i + 1000) in exact
+
+
+def test_simhash_candidates_differential(spark):
+    """Full pure-Python replay of the retired simhash_candidates gate
+    (round 6: retired from the 50-gate registry to seat
+    incremental_dedup): md5-digit simhash (bit i = bit i%4 of hex digit
+    i//4 of md5(token), ±1 votes over DISTINCT lowercased tokens),
+    16-bit pigeonhole blocks, hamming ≤ 3 — pair-exact against the Spark
+    operator on the same synthetic-duplicate corpus construction the
+    gate used."""
+    import hashlib
+    import re as _re
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 100
+    )
+    dupes = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dup_candidates(
+            docs.unionByName(dupes), hash_fn="md5"
+        ).filter(F.col("hamming") <= 3).collect()
+    }
+
+    corpus = {r.doc_id: r.text for r in docs.collect()}
+    corpus.update({d + 1_000_000: t for d, t in corpus.items()})
+
+    def sim(text):
+        votes = [0] * 64
+        for tok in set(_re.split(r"\s+", text.strip().lower())):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            for i in range(64):
+                bit = (int(h[i // 4], 16) >> (i % 4)) & 1
+                votes[i] += 1 if bit else -1
+        sh = sum(1 << i for i, v in enumerate(votes) if v > 0)
+        return sh  # bit 63 unset in practice is NOT guaranteed; keep unsigned
+
+    hashes = {d: sim(t) for d, t in corpus.items()}
+    buckets = {}
+    for d, sh in hashes.items():
+        for b in range(4):
+            buckets.setdefault((b, (sh >> (b * 16)) & 0xFFFF), []).append(d)
+    expect = {}
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                ham = bin(hashes[a] ^ hashes[b]).count("1")
+                if ham <= 3:
+                    expect[(a, b)] = ham
+    assert got == expect
+    # the construction is non-trivial: every planted dup pair surfaces
+    assert all((d, d + 1_000_000) in expect for d in corpus
+               if d < 1_000_000), "planted dups missing"
 
 
 def test_simhash_md5_variant_portable_value(spark):
@@ -2310,6 +2431,48 @@ def test_chunk_documents_windows(spark):
     assert all(n <= 4 for n, _ in got.values())
     with _pytest.raises(ValueError):
         chunk_documents(df, max_tokens=4, stride=5)
+
+
+def test_chunk_documents_by_cost_law(spark):
+    """Cost-model chunking assigns each word to floor(cost_prefix /
+    budget) — pack_documents' law one level down: boundary-straddling
+    words keep the chunk they start in (chunks may exceed the budget by
+    word_cost − 1), a word whose cost spans multiple windows makes chunk
+    ids SKIP, missing words cost chars + marker, token-less docs emit
+    nothing."""
+    import pytest as _pytest
+
+    from readability_php_spark.operators.packing import (
+        chunk_documents_by_cost,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa b ccc dd"), (2, "   "), (3, "x"), (4, "w aa")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("aa", 3), ("b", 1), ("ccc", 5), ("dd", 2), ("w", 9)],
+        "word string, word_tokens int",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents_by_cost(docs, vocab, max_tokens=4).collect()
+    }
+    assert got == {
+        # doc 1 prefixes: aa@0→c0, b@3→c0 (straddles: 3+1=4 ≤ budget
+        # here, but ccc@4→c1 with cost 5 OVERSHOOTS window 1), dd@9→c2
+        (1, 0): (4, "aa b"),
+        (1, 1): (5, "ccc"),
+        (1, 2): (2, "dd"),
+        # doc 3: 'x' missing from the vocab → chars+marker = 2
+        (3, 0): (2, "x"),
+        # doc 4: w@0 (cost 9 spans windows 0-2) → aa@9 lands in chunk 2
+        # — ids skip 1, stay strictly increasing
+        (4, 0): (9, "w"),
+        (4, 2): (3, "aa"),
+    }
+    with _pytest.raises(ValueError):
+        chunk_documents_by_cost(docs, vocab, max_tokens=0)
 
 
 def test_score_buckets_terciles_and_ties(spark):
