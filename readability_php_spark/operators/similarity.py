@@ -102,12 +102,134 @@ def nearest_centroids(
     return F.slice(ranked, 1, probes)
 
 
+#: Above this many centroids the coarse quantizer switches from the
+#: literal-array expression to the broadcast-join path: the literal
+#: embeds all k·d values in ONE expression tree, whose codegen size and
+#: per-row constant-fold cost grow linearly in k — fine at the k≈16-128
+#: of the gates, a wall at the k≈10^4-10^5 cells a 10^9+-vector
+#: SemDeDup/IVF needs.  128 keeps every gate on the (cheapest,
+#: SQL-replayable) literal path while production-scale k flips over.
+DEFAULT_LITERAL_MAX_K = 128
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list,
+    id_col: str,
+    vec_col: str,
+    probes: int = 1,
+    method: str = "auto",
+    literal_max_k: int = DEFAULT_LITERAL_MAX_K,
+    with_cosine: bool = False,
+) -> DataFrame:
+    """Coarse-quantizer cell assignment — every consumer (k-means
+    assignment, IVF corpus/query probing, SemDeDup) goes through here so
+    the literal-vs-join strategy decision lives in ONE place.
+
+    Returns ``df`` plus ``cid`` (``probes == 1``) or ``cids``
+    (``probes > 1``, the probe cells by ascending (d2, cid)), and
+    optionally ``centroid_sim`` (round-4 cosine to the assigned
+    centroid, ``probes == 1`` only).  ``id_col`` must be unique per row
+    (every consumer keys on a unique vector id).
+
+    Strategies (``method="auto"`` picks by ``literal_max_k``; both
+    produce BIT-IDENTICAL results — same zip_with fold arithmetic, same
+    (d2, cid) tie-break — differentially tested and gate-verified):
+
+    - ``"literal"``: the k centroids ride into one column expression
+      (:func:`nearest_centroids`) — zero shuffle, zero join, replayable
+      in the DuckDB oracles; per-row cost AND expression size are O(k·d),
+      so it is the cheapest path exactly while k is small.
+    - ``"join"``: the centroids become a broadcast DataFrame;
+      assignment is a BroadcastNestedLoopJoin fan-out (k rows per
+      vector, map-side) reduced by ``min(struct(d2, cid[, cos]))`` —
+      a map-side-combined aggregate whose shuffle carries ONE struct
+      per vector, never the k-way fan-out.  Expression size is O(d),
+      independent of k.  For ``probes > 1`` the reduction is a
+      row_number window over the fan-out (shuffles N·k rows) — use it
+      on bounded frames only (its one consumer is the IVF QUERY side,
+      a handful of rows); the corpus side always assigns probes=1.
+    """
+    k = len(centroids)
+    if probes < 1 or probes > k:
+        raise ValueError(f"probes must be in [1, {k}], got {probes}")
+    if with_cosine and probes != 1:
+        raise ValueError("with_cosine requires probes=1")
+    if method == "auto":
+        method = "literal" if k <= literal_max_k else "join"
+    if method == "literal":
+        ranked = nearest_centroids(vec_col, centroids, probes)
+        if probes == 1:
+            out = df.withColumn("cid", ranked[0].getField("cid"))
+        else:
+            out = df.withColumn(
+                "cids", F.transform(ranked, lambda s: s.getField("cid"))
+            )
+        if with_cosine:
+            cents_lit = _centroid_array_lit(centroids)
+            out = out.withColumn(
+                "centroid_sim",
+                F.round(
+                    cosine(
+                        F.col(vec_col),
+                        F.element_at(cents_lit, F.col("cid") + 1),
+                    ),
+                    4,
+                ),
+            )
+        return out
+    if method != "join":
+        raise ValueError(
+            f"method must be 'auto', 'literal' or 'join', got {method!r}"
+        )
+    cents = df.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cid int, cvec array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("cvec"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    fanout = df.select(id_col, vec_col).crossJoin(F.broadcast(cents))
+    if probes == 1:
+        fields = [d2.alias("d2"), F.col("cid").alias("cid")]
+        if with_cosine:
+            fields.append(
+                F.round(cosine(F.col(vec_col), F.col("cvec")), 4).alias("cs")
+            )
+        best = fanout.groupBy(id_col).agg(
+            F.min(F.struct(*fields)).alias("_b")
+        )
+        out = df.join(best, id_col).withColumn("cid", F.col("_b.cid"))
+        if with_cosine:
+            out = out.withColumn("centroid_sim", F.col("_b.cs"))
+        return out.drop("_b")
+    w = Window.partitionBy(id_col).orderBy("d2", "cid")
+    topp = (
+        fanout.select(id_col, d2.alias("d2"), "cid")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= probes)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "cid"))),
+                lambda s: s.getField("cid"),
+            ).alias("cids")
+        )
+    )
+    return df.join(topp, id_col)
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 16,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer_method: str = "auto",
 ) -> DataFrame:
     """Deterministic Lloyd's k-means (IVF coarse quantizer).
 
@@ -140,16 +262,20 @@ def kmeans_centroids(
     centroids = [(i, list(r.cvec)) for i, r in enumerate(cents.collect())]
     dim = len(centroids[0][1])
     for _ in range(iters):
-        # Assignment is a pure map: the k centroids ride along as a literal
-        # array expression (no crossJoin row explosion, no window shuffle —
-        # at 10^9 vectors the old crossJoin+row_number shape shuffled k*N
-        # rows per iteration).  The only shuffle left is the k-way mean,
-        # which map-side combines to k*dim rows per partition.
-        assigned = embeddings.select(
+        # Assignment goes through assign_cells: at small k the centroids
+        # ride along as a literal array expression (no crossJoin row
+        # explosion, no window shuffle); past the literal ceiling it is
+        # the broadcast fan-out + min-struct agg, whose shuffle carries
+        # one struct per vector.  Plus the k-way mean shuffle, which
+        # map-side combines to k*dim rows per partition.
+        assigned = assign_cells(
+            embeddings.select(id_col, vec_col),
+            centroids,
             id_col,
             vec_col,
-            nearest_centroids(vec_col, centroids, 1)[0].getField("cid").alias("cid"),
-        )
+            probes=1,
+            method=quantizer_method,
+        ).select(id_col, vec_col, "cid")
         means = (
             assigned.select("cid", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -176,37 +302,38 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer_method: str = "auto",
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus vectors to their nearest
     centroid; queries probe the ``n_probe`` nearest cells only.
 
-    Cell assignment is a shuffle-free map (literal-centroid argmin via
-    ``nearest_centroids``) — the only shuffle is the cid-keyed
-    corpus×queries join, which is the IVF probe itself."""
-    cent = kmeans_centroids(embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
+    Cell assignment goes through :func:`assign_cells` (shuffle-free
+    literal-argmin map at small k; broadcast fan-out + min-struct agg
+    past the literal ceiling) — beyond it the only shuffle is the
+    cid-keyed corpus×queries join, which is the IVF probe itself.  The
+    probes>1 assignment only ever runs on the QUERY side (bounded)."""
+    cent = kmeans_centroids(
+        embeddings, n_centroids, id_col=id_col, vec_col=vec_col,
+        quantizer_method=quantizer_method,
+    )
     centroids = [(r.cid, list(r.cvec)) for r in cent.orderBy("cid").collect()]
 
-    def assign(df: DataFrame, probes: int) -> DataFrame:
-        return df.select(
-            id_col,
-            vec_col,
-            F.explode(
-                F.transform(
-                    nearest_centroids(vec_col, centroids, probes),
-                    lambda s: s.getField("cid"),
-                )
-            ).alias("cid"),
-        )
-
-    corpus = assign(embeddings.select(F.col(id_col), F.col(vec_col)), 1).select(
+    corpus = assign_cells(
+        embeddings.select(F.col(id_col), F.col(vec_col)),
+        centroids, id_col, vec_col, probes=1, method=quantizer_method,
+    ).select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec_corp"), "cid"
     )
-    queries = assign(
+    queries = assign_cells(
         embeddings.filter(F.col(id_col).isin(query_ids)).select(
             F.col(id_col), F.col(vec_col)
         ),
-        n_probe,
-    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cid")
+        centroids, id_col, vec_col, probes=n_probe, method=quantizer_method,
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode("cids").alias("cid"),
+    )
 
     scored = (
         corpus.join(queries, "cid")
@@ -306,6 +433,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_rows: int = 100_000,
+    quantizer_method: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by embedding
     clustering — k-means the corpus into cells, compare pairs only WITHIN
@@ -329,25 +457,21 @@ def semdedup(
     from .dedup import connected_components
 
     cent = kmeans_centroids(
-        embeddings, n_centroids, id_col=id_col, vec_col=vec_col
+        embeddings, n_centroids, id_col=id_col, vec_col=vec_col,
+        quantizer_method=quantizer_method,
     )
     centroids = [(r.cid, list(r.cvec)) for r in cent.orderBy("cid").collect()]
-    cents_lit = _centroid_array_lit(centroids)
-    asn = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        nearest_centroids(vec_col, centroids, 1)[0]
-        .getField("cid")
-        .alias("bucket"),
-    ).withColumn(
-        "centroid_sim",
-        F.round(
-            cosine(F.col("vec"), F.element_at(cents_lit, F.col("bucket") + 1)),
-            4,
+    asn = assign_cells(
+        embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         ),
-    # the argmin+cosine map is the operator's most expensive expression
-    # and feeds FOUR consumers (the eager bucket-size count, both sides
-    # of the pair self-join, the members join) — materialize it once
+        centroids, "id", "vec", probes=1, method=quantizer_method,
+        with_cosine=True,
+    ).select(
+        "id", "vec", F.col("cid").alias("bucket"), "centroid_sim"
+    # the argmin+cosine map is the operator's most expensive stage and
+    # feeds FOUR consumers (the eager bucket-size count, both sides of
+    # the pair self-join, the members join) — materialize it once
     # (dsir_select's idiom)
     ).localCheckpoint()
     edges = _bucketed_cosine_pairs(
