@@ -5,8 +5,9 @@ batch shapes, ``mapInPandas`` signatures.  PNG, GIF, and baseline JPEG —
 the dominant web image formats — decode for REAL via stdlib-only decoders
 (``decode_png``: chunk walk, zlib inflate, scanline unfilter;
 ``decode_gif``: color tables, LZW, deinterlace; ``jpeg.decode_jpeg``:
-Huffman entropy decode, dequant, IDCT, chroma upsample).  Progressive
-JPEG, image resize, and video frame extraction need libraries this
+Huffman entropy decode — baseline AND progressive/SOF2 scan
+accumulation — dequant, IDCT, chroma upsample).  Image resize and video
+frame extraction need libraries this
 container doesn't ship, so those paths raise ``NotImplementedError``
 unless a deterministic fake is requested; swapping them for PIL/ffmpeg is
 a one-function change and everything around them (batching, schema,
@@ -259,8 +260,9 @@ _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
 def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
     """(width, height) from the first JPEG start-of-frame segment — a pure
     marker-segment walk, no entropy decode.  Dimensions are the metadata a
-    curation filter needs (aspect/size gates) even though full JPEG pixel
-    decode stays behind NotImplementedError in this environment."""
+    curation filter needs (aspect/size gates) without paying the
+    pure-Python entropy decode; also the only dimension source for the
+    SOF variants (arithmetic, 12-bit) the full decoder declines."""
     if payload[:3] != JPEG_MAGIC:
         raise ValueError("not a JPEG: bad signature")
     pos = 2
@@ -451,8 +453,8 @@ def decode_image(
     deterministic pseudo-decode (dimensions derived from byte length) that
     the plumbing tests use.  In fake mode JPEG also takes the cheap fake
     path — the pure-Python entropy decode is a real-decode opt-in, not a
-    plumbing-test cost.  Progressive/arithmetic/over-budget JPEG raises
-    ``JpegPixelsUnavailable`` (a ``NotImplementedError``) so callers can
+    plumbing-test cost.  Baseline AND progressive (SOF2) JPEG decode;
+    arithmetic/12-bit/over-budget JPEG raises ``JpegPixelsUnavailable`` (a ``NotImplementedError``) so callers can
     fall back to header-only dimensions; over-budget PNG/GIF raise
     ``ValueError`` (see ``DEFAULT_MAX_PIXELS``)."""
     if payload[:8] == PNG_MAGIC:
