@@ -64,6 +64,7 @@ from pyspark.sql.types import (
 
 from .dedup import connected_components
 from .multimodal import DEFAULT_MAX_PIXELS, decode_image
+from .similarity import split_overcap_buckets
 
 try:  # numpy is baked into the env, but keep the import honest
     import numpy as _np
@@ -198,12 +199,15 @@ def phash_near_dup_candidates(
     ``blocks`` — 8 blocks of 8 bits guarantees ≤ 7 — at the cost of
     hotter buckets).  One shuffle on (block, value) in the common case
     (local array pair expansion); when the largest bucket exceeds
-    ``bucket_cap`` the operator switches to a salted self-join so no
-    single task owns a mega-bucket's quadratic pair work — the emitted
-    pair set is IDENTICAL either way (see module docstring).  Sizing the
-    salt takes one bounded aggregate over the input; callers whose
-    ``hashes`` lineage is expensive (a decode pass) should checkpoint it
-    first, as :func:`phash_image_dedup` does."""
+    ``bucket_cap``, exactly the OVER-cap buckets take a salted self-join
+    (:func:`~readability_php_spark.operators.similarity.split_overcap_buckets`
+    — shared with the embedding pair generators) so no single task owns a
+    mega-bucket's quadratic pair work while the >99% of well-behaved
+    buckets keep the cheap array expansion — the emitted pair set is
+    IDENTICAL either way.  Sizing the salt takes one bounded aggregate
+    over the input; callers whose ``hashes`` lineage is expensive (a
+    decode pass) should checkpoint it first, as
+    :func:`phash_image_dedup` does."""
     if 64 % blocks != 0:
         raise ValueError(f"blocks must divide 64, got {blocks}")
     bits = 64 // blocks
@@ -220,56 +224,29 @@ def phash_near_dup_candidates(
             )
         ).alias("b"),
     ).select("media_id", "phash", F.col("b.block").alias("block"), F.col("b.val").alias("val"))
-    s = 1
-    if bucket_cap is not None:
-        # bounded action: one row per (block, val) feeds a scalar max
-        biggest = (
-            blocked.groupBy("block", "val").count().agg(F.max("count")).first()[0]
-            or 0
+    under, over_pairs = split_overcap_buckets(
+        blocked, ["block", "val"], "media_id", ["phash"], bucket_cap
+    )
+    buckets = under.groupBy("block", "val").agg(
+        F.sort_array(F.collect_set(F.struct("media_id", "phash"))).alias("ids")
+    ).filter(F.size("ids") >= 2)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x.media_id AS id_a, y.media_id AS id_b, "
+        "x.phash AS ph_a, y.phash AS ph_b))))"
+    )
+    pairs = buckets.select(F.explode(pair_expr).alias("p")).select(
+        "p.id_a", "p.id_b", "p.ph_a", "p.ph_b"
+    )
+    if over_pairs is not None:
+        pairs = pairs.unionByName(
+            over_pairs.withColumnsRenamed({"phash_a": "ph_a", "phash_b": "ph_b"})
         )
-        s = max(1, -(-int(biggest) // bucket_cap))  # ceil div
-    if s == 1:
-        buckets = blocked.groupBy("block", "val").agg(
-            F.sort_array(F.collect_set(F.struct("media_id", "phash"))).alias("ids")
-        ).filter(F.size("ids") >= 2)
-        pair_expr = F.expr(
-            "flatten(transform(ids, (x, i) -> "
-            "transform(slice(ids, i + 2, size(ids) - i - 1), "
-            "y -> struct(x.media_id AS id_a, y.media_id AS id_b, "
-            "x.phash AS ph_a, y.phash AS ph_b))))"
-        )
-        pairs = (
-            buckets.select(F.explode(pair_expr).alias("p"))
-            .select("p.id_a", "p.id_b", "p.ph_a", "p.ph_b")
-            .distinct()
-        )
-    else:
-        # mega-bucket mode: every (a, b) pair meets exactly once — when
-        # the a-replica index equals b's id-hash salt — so the pair set
-        # matches the array path's; each (block, val, salt) shuffle key
-        # carries ~1/s of the bucket's pair work
-        a_rep = blocked.alias("a").withColumn(
-            "rep", F.explode(F.array(*[F.lit(i) for i in range(s)]))
-        )
-        b_salt = blocked.alias("b").withColumn(
-            "salt", F.pmod(F.xxhash64(F.col("b.media_id")), F.lit(s)).cast("int")
-        )
-        pairs = (
-            a_rep.join(
-                b_salt,
-                (F.col("a.block") == F.col("b.block"))
-                & (F.col("a.val") == F.col("b.val"))
-                & (F.col("rep") == F.col("salt"))
-                & (F.col("a.media_id") < F.col("b.media_id")),
-            )
-            .select(
-                F.col("a.media_id").alias("id_a"),
-                F.col("b.media_id").alias("id_b"),
-                F.col("a.phash").alias("ph_a"),
-                F.col("b.phash").alias("ph_b"),
-            )
-            .distinct()
-        )
+    # distinct over the UNION: a pair may meet in several of its `blocks`
+    # pigeonhole buckets, and those buckets can land on different sides of
+    # the over-cap split
+    pairs = pairs.distinct()
     hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming

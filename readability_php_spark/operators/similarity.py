@@ -155,27 +155,47 @@ def assign_cells(
         raise ValueError(f"probes must be in [1, {k}], got {probes}")
     if with_cosine and probes != 1:
         raise ValueError("with_cosine requires probes=1")
+    cids = [int(c) for c, _ in centroids]
+    if len(set(cids)) != k or cids != sorted(cids):
+        # both strategies tie-break equal-d2 to the EARLIER centroid; that
+        # only means "lower cid" (the documented law) when the list order
+        # is the cid order
+        raise ValueError("centroids must be ordered by distinct ascending cid")
     if method == "auto":
         method = "literal" if k <= literal_max_k else "join"
     if method == "literal":
+        # nearest_centroids ranks by LIST INDEX; when the cids aren't the
+        # 0-based indices, remap through a literal lookup so both
+        # strategies emit the caller's actual cid values (contiguous
+        # 0..k-1 callers — every gate — keep the identity plan)
+        contiguous = cids == list(range(k))
+        cid_lit = F.array(*[F.lit(c) for c in cids])
         ranked = nearest_centroids(vec_col, centroids, probes)
         if probes == 1:
-            out = df.withColumn("cid", ranked[0].getField("cid"))
-        else:
+            idx = ranked[0].getField("cid")
             out = df.withColumn(
-                "cids", F.transform(ranked, lambda s: s.getField("cid"))
+                "cid", idx if contiguous else F.element_at(cid_lit, idx + 1)
             )
-        if with_cosine:
-            cents_lit = _centroid_array_lit(centroids)
-            out = out.withColumn(
-                "centroid_sim",
-                F.round(
-                    cosine(
-                        F.col(vec_col),
-                        F.element_at(cents_lit, F.col("cid") + 1),
+            if with_cosine:
+                cents_lit = _centroid_array_lit(centroids)
+                out = out.withColumn(
+                    "centroid_sim",
+                    F.round(
+                        cosine(
+                            F.col(vec_col),
+                            # index by list position, not cid value
+                            F.element_at(cents_lit, idx + 1),
+                        ),
+                        4,
                     ),
-                    4,
-                ),
+                )
+        else:
+            idxs = F.transform(ranked, lambda s: s.getField("cid"))
+            out = df.withColumn(
+                "cids",
+                idxs
+                if contiguous
+                else F.transform(idxs, lambda i: F.element_at(cid_lit, i + 1)),
             )
         return out
     if method != "join":
@@ -332,7 +352,8 @@ def ivf_topk(
     ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.explode("cids").alias("cid"),
+        # assign_cells returns a scalar `cid` at probes=1, `cids` beyond
+        (F.col("cid") if n_probe == 1 else F.explode("cids")).alias("cid"),
     )
 
     scored = (
@@ -387,42 +408,95 @@ def embedding_near_dups(
     return pairs.filter(F.col("cos_sim") >= threshold)
 
 
+def split_overcap_buckets(
+    df: DataFrame,
+    key_cols: "list[str]",
+    id_col: str,
+    payload_cols: "list[str]",
+    cap: "int | None",
+) -> "tuple[DataFrame, DataFrame | None]":
+    """Mega-bucket scale guard shared by every within-bucket pair
+    generator (embedding near-dups, SemDeDup cells, pHash pigeonhole
+    blocks): split ``df`` into rows of buckets at-or-below ``cap``
+    (returned as-is — each caller generates those pairs however is
+    cheapest for its payload) and the ``(id_a, id_b, <payload>_a,
+    <payload>_b)`` pairs of OVER-cap buckets, generated by a
+    replicated × salted self-join restricted to exactly those buckets.
+
+    Within-bucket comparison is inherently quadratic; what the guard buys
+    is that no single task owns a mega-bucket's pair work: the a-side of
+    an over-cap bucket replicates ``s = ceil(biggest / cap)`` ways and
+    the b-side salts by id-hash, so each (bucket, salt) shuffle key
+    carries ~1/s of that bucket's pairs, and every (a, b) pair still
+    meets exactly once (when the a-replica index equals b's salt).  Only
+    over-cap buckets pay the s-way replication — the split is two joins
+    against the broadcast over-cap key list (bounded by total_rows/cap
+    keys), so one skewed bucket no longer inflates the shuffle volume of
+    the >99% of buckets that never needed salting.  The emitted pair set
+    is identical to the unsalted join either way.
+
+    Returns ``(under, over_pairs)``; ``over_pairs`` is None when no
+    bucket exceeds ``cap`` (or ``cap`` is None) and ``under`` is then
+    ``df`` unchanged — the common case costs one bounded aggregate (one
+    row per bucket feeding a scalar max) and nothing else."""
+    if cap is None:
+        return df, None
+    counts = df.groupBy(*key_cols).count()
+    # bounded action: one row per bucket feeds a scalar max
+    biggest = counts.agg(F.max("count")).first()[0] or 0
+    if int(biggest) <= cap:
+        return df, None
+    s = -(-int(biggest) // cap)  # ceil div
+    over_keys = F.broadcast(counts.filter(F.col("count") > cap).drop("count"))
+    under = df.join(over_keys, key_cols, "left_anti")
+    over = df.join(over_keys, key_cols, "left_semi")
+    a_rep = over.alias("a").withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+    )
+    b_salt = over.alias("b").withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(f"b.{id_col}")), F.lit(s)).cast("int")
+    )
+    cond = (F.col("rep") == F.col("salt")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    for kc in key_cols:
+        cond = cond & (F.col(f"a.{kc}") == F.col(f"b.{kc}"))
+    over_pairs = a_rep.join(b_salt, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        *[F.col(f"a.{pc}").alias(f"{pc}_a") for pc in payload_cols],
+        *[F.col(f"b.{pc}").alias(f"{pc}_b") for pc in payload_cols],
+    )
+    return under, over_pairs
+
+
 def _bucketed_cosine_pairs(b: DataFrame, max_bucket_rows: int) -> DataFrame:
     """All within-bucket (id_a < id_b, round-4 cos_sim) pairs of a
     (id, vec, bucket) frame; the shuffle key is the bucket — never an
-    all-pairs cross product.  Shared scale guard (see embedding_near_dups'
-    docstring): when the largest bucket exceeds ``max_bucket_rows`` the
-    a-side replicates ``s`` ways and the b-side salts by id-hash, so each
-    (bucket, salt) key carries ~1/s of the quadratic pair work while every
-    pair still meets exactly once."""
-    # bounded agg: one row per bucket feeds a scalar max
-    biggest = (
-        b.groupBy("bucket").count().agg(F.max("count")).first()[0] or 0
+    all-pairs cross product.  Mega-bucket guard via
+    :func:`split_overcap_buckets` (see its docstring): over-cap buckets
+    take the salted self-join, everything else the plain bucket-keyed
+    join — the pair set is identical to the unsalted join."""
+    under, over_pairs = split_overcap_buckets(
+        b, ["bucket"], "id", ["vec"], max_bucket_rows
     )
-    s = max(1, -(-int(biggest) // max_bucket_rows))  # ceil div
-    if s == 1:
-        joined = b.alias("a").join(
-            b.alias("b"),
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-    else:
-        a_rep = b.alias("a").withColumn(
-            "rep", F.explode(F.array(*[F.lit(i) for i in range(s)]))
-        )
-        b_salt = b.alias("b").withColumn(
-            "salt", F.pmod(F.xxhash64(F.col("b.id")), F.lit(s)).cast("int")
-        )
-        joined = a_rep.join(
-            b_salt,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("rep") == F.col("salt"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-    return joined.select(
+    joined = under.alias("a").join(
+        under.alias("b"),
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    pairs = joined.select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos_sim"),
+        F.col("a.vec").alias("vec_a"),
+        F.col("b.vec").alias("vec_b"),
+    )
+    if over_pairs is not None:
+        pairs = pairs.unionByName(over_pairs)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4).alias("cos_sim"),
     )
 
 

@@ -314,9 +314,17 @@ def run_extract_job(
             [(int(b),) for b in wave_buckets], "part_id int"
         )
         committed_out = _try_read_parquet(spark, output_path)
+        dedupe_metrics = False
         if staged is not None:
             # same union as the resume path: a resumed bucket whose live
-            # rows sit only under _compacted must still count in metrics
+            # rows sit only under _compacted must still count in metrics.
+            # BEFORE vacuum deletes the originals, the raw directory read
+            # still sees the rows a compaction rewrote into _compacted —
+            # the union would count those urls twice, so the metrics agg
+            # below dedupes by (part_id, url).  Compaction rewrites rows
+            # verbatim, so one-row-per-url IS the live view either side
+            # of the vacuum.
+            dedupe_metrics = committed_out is not None
             committed_out = (
                 staged
                 if committed_out is None
@@ -337,8 +345,15 @@ def run_extract_job(
             )
         else:
             out = committed_out.select(
-                "part_id", "error", "attempts", "extract_ms", "html_bytes"
+                "part_id", "url", "error", "attempts", "extract_ms", "html_bytes"
             ).filter(F.col("part_id").isin(wave_buckets))
+            if dedupe_metrics:
+                # compacted-but-not-yet-vacuumed buckets: raw ∪ staged
+                # holds each url twice (identical rows) — count once.
+                # Only paid when a compaction is actually in play; the
+                # shuffle is bounded by this wave's partition-pruned rows.
+                out = out.dropDuplicates(["part_id", "url"])
+            out = out.drop("url")
             agg = out.groupBy("part_id").agg(
                 F.count("*").alias("docs"),
                 F.sum("html_bytes").alias("bytes_in"),

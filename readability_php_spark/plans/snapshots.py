@@ -106,8 +106,11 @@ def _log_path(output_path: str) -> str:
 #: (``hdfs://nn/...``) and scheme-without-authority (``hdfs:/warehouse``)
 #: spellings, which Hadoop treats identically.  A bare ``scheme:name``
 #: with no slash is NOT matched: that's a plausible local filename
-#: (``backup:2024.parquet``), not a filesystem URI.
-_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:/")
+#: (``backup:2024.parquet``), not a filesystem URI.  Schemes must be at
+#: least two characters so Windows drive-letter paths (``C:/data/out``)
+#: stay on the local-os branch — the same length rule Hadoop's own
+#: ``Path.hasWindowsDrive`` applies.
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]+:/")
 
 
 def _is_local(path: str) -> bool:

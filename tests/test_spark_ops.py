@@ -713,6 +713,38 @@ def test_resume_after_compact_vacuum_no_duplicates(spark, tmp_path):
     assert res.last_snapshot_id == sid  # nothing new → log max reported
 
 
+def test_resume_metrics_compact_before_vacuum_not_doubled(spark, tmp_path):
+    """In the window between compact and vacuum, the raw directory still
+    holds the files compaction rewrote into _compacted, so the metrics
+    read-back (raw ∪ staged) sees each live url twice.  A resumed bucket's
+    manifest docs/bytes must still count live rows ONCE (round-6 review
+    finding; data itself was always exactly-once)."""
+    from readability_php_spark.plans.snapshots import (
+        compact_snapshots,
+        read_snapshot,
+    )
+
+    out_dir = str(tmp_path / "cm_out")
+    pages = fixture_corpus_df(spark, replicas=1)
+    run_extract_job(
+        spark, pages, out_dir, num_buckets=2, config=CFG, files_per_bucket=3
+    )
+    compact_snapshots(spark, out_dir, target_file_bytes=1 << 30)
+    # NO vacuum: every row now exists in raw AND _compacted files.
+    # Resume with a fresh manifest (the crash-window rerun) — the
+    # anti-join appends nothing, metrics re-derive from the read-back.
+    res = run_extract_job(
+        spark, pages, out_dir, num_buckets=2, config=CFG,
+        manifest_path=str(tmp_path / "m_fresh"),
+    )
+    assert read_snapshot(spark, out_dir).count() == 89  # data exactly-once
+    m = spark.read.parquet(res.manifest_path)
+    assert m.agg(F.sum("docs")).first()[0] == 89  # counted once, not 178
+    bytes_in = m.agg(F.sum("bytes_in")).first()[0]
+    direct = read_snapshot(spark, out_dir).agg(F.sum("html_bytes")).first()[0]
+    assert bytes_in == direct
+
+
 def test_extract_job_snapshot_id_contract(spark, tmp_path):
     """last_snapshot_id: non-None ⇔ a snapshot exists that read_snapshot
     accepts.  A fully-filtered fresh run (no files ever committed) must
@@ -820,6 +852,10 @@ def test_snapshot_path_scheme_routing():
     assert not _is_local("hdfs:/warehouse/t")
     assert not _is_local("s3a://bucket/prefix")
     assert not _is_local("s3a:/bucket/prefix")
+    # Windows drive letters are paths, not single-letter URI schemes
+    # (Hadoop's Path.hasWindowsDrive rule: schemes are >= 2 chars)
+    assert _is_local("C:/data/out")
+    assert _is_local("c:/data/out")
     assert _local("file:///tmp/out") == "/tmp/out"
     assert _local("file:/tmp/out") == "/tmp/out"
 
@@ -3543,6 +3579,81 @@ def test_assign_cells_join_equals_literal(spark):
     lit2 = run("literal", 2, False)
     join2 = run("join", 2, False)
     assert [(i, list(c)) for i, c in lit2] == [(i, list(c)) for i, c in join2]
+
+
+def test_assign_cells_noncontiguous_cids_both_paths(spark):
+    """cid is the caller's actual centroid id, not the list index: with
+    cids (3, 7, 10) both strategies label rows from {3, 7, 10} and agree
+    exactly (pre-r6, the literal path silently emitted 0-based indices).
+    Unsorted cid lists are rejected — the shared tie-break law depends on
+    list order == cid order."""
+    from readability_php_spark.operators.similarity import assign_cells
+
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 60)
+    dim = len(emb.first().embedding)
+    cents = [(3, [0.0] * dim), (7, [1.0] * dim), (10, [-1.0] * dim)]
+
+    def run(method, probes):
+        out = assign_cells(
+            emb, cents, "vec_id", "embedding", probes=probes, method=method
+        )
+        col = "cid" if probes == 1 else "cids"
+        return sorted(
+            (r.vec_id, r[col] if probes == 1 else tuple(r[col]))
+            for r in out.select("vec_id", col).collect()
+        )
+
+    lit = run("literal", 1)
+    assert lit == run("join", 1)
+    assert {c for _, c in lit} <= {3, 7, 10}
+    lit2 = run("literal", 2)
+    assert lit2 == run("join", 2)
+    assert {c for _, cs in lit2 for c in cs} <= {3, 7, 10}
+    with pytest.raises(ValueError, match="ascending"):
+        assign_cells(emb, list(reversed(cents)), "vec_id", "embedding")
+
+
+def test_ivf_topk_single_probe(spark):
+    """n_probe=1 is a valid setting (assign_cells returns a scalar `cid`
+    there, not a `cids` array — pre-r6 this crashed at plan build) and
+    its result set is a subset of the 2-probe run's candidates."""
+    from readability_php_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 150)
+    one = ivf_topk(emb, [0, 1], k=5, n_centroids=8, n_probe=1).collect()
+    assert len(one) > 0
+    assert all(1 <= r.rank <= 5 for r in one)
+    two = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, [0, 1], k=150, n_centroids=8, n_probe=2).collect()
+    }
+    assert {(r.query_id, r.neighbor_id) for r in one} <= two
+
+
+def test_split_overcap_buckets_scoped_salting(spark):
+    """Only OVER-cap buckets pay the salted self-join: `under` holds
+    exactly the rows of at-or-below-cap buckets, `over_pairs` exactly the
+    within-bucket pairs of the over-cap ones (pre-r6, one skewed bucket
+    replicated the WHOLE relation s ways)."""
+    from readability_php_spark.operators.similarity import (
+        split_overcap_buckets,
+    )
+
+    rows = [(i, "big", float(i)) for i in range(20)] + [
+        (100 + i, f"small{i % 3}", float(i)) for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, "id long, bucket string, vec double")
+    under, over = split_overcap_buckets(df, ["bucket"], "id", ["vec"], 5)
+    assert over is not None
+    assert {r.bucket for r in under.collect()} == {"small0", "small1", "small2"}
+    got = {(r.id_a, r.id_b) for r in over.collect()}
+    want = {(a, b) for a in range(20) for b in range(20) if a < b}
+    assert got == want
+    # payloads ride along under <name>_a/<name>_b
+    assert set(over.columns) == {"id_a", "id_b", "vec_a", "vec_b"}
+    # no bucket over cap -> pass-through, no action beyond the size probe
+    u2, o2 = split_overcap_buckets(df, ["bucket"], "id", ["vec"], 50)
+    assert o2 is None and u2 is df
 
 
 def test_assign_cells_join_plan_shape(spark):
