@@ -6,11 +6,15 @@ the dominant web image formats — decode for REAL via stdlib-only decoders
 (``decode_png``: chunk walk, zlib inflate, scanline unfilter;
 ``decode_gif``: color tables, LZW, deinterlace; ``jpeg.decode_jpeg``:
 Huffman entropy decode — baseline AND progressive/SOF2 scan
-accumulation — dequant, IDCT, chroma upsample).  Image resize and video
-frame extraction need libraries this
-container doesn't ship, so those paths raise ``NotImplementedError``
-unless a deterministic fake is requested; swapping them for PIL/ffmpeg is
-a one-function change and everything around them (batching, schema,
+accumulation — dequant, IDCT, chroma upsample).  Image RESIZE is real
+too (``resize_image``: decode → numpy half-pixel-center bilinear →
+PNG re-encode), as is video frame extraction for RIFF/AVI containers
+(``sample_frames``: chunk-tree walk pulling the ``##dc``/``##db``
+stream-0 frames — MJPEG payloads then decode through the in-repo JPEG
+codec).  Only non-AVI video containers (MP4/WebM need a full ISO-BMFF/
+Matroska + codec stack) still raise ``NotImplementedError`` unless a
+deterministic fake is requested; swapping those for ffmpeg is a
+one-function change and everything around them (batching, schema,
 metadata propagation) is production-shaped.
 
 Pattern (north rule §multimodal): binary payload column + typed metadata
@@ -21,10 +25,16 @@ size-bounded batches, exactly like the HTML extractor.
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
 from typing import Iterator
 
 import pandas as pd
+
+try:  # numpy is environment-standard here; guarded like image_dedup's
+    import numpy as _np
+except ImportError:  # pragma: no cover
+    _np = None
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -486,24 +496,144 @@ def _byte_histogram_features(payload: bytes, dims: int = 8) -> list[float]:
     return [round(c / total, 6) for c in buckets]
 
 
+def resize_pixels(
+    width: int, height: int, pixels: bytes, new_width: int, new_height: int
+) -> bytes:
+    """Bilinear resample of a decoded pixel buffer (channel count inferred
+    from the buffer length, the same 1/2/3/4 convention as ``phash64``) —
+    vectorized numpy, half-pixel sample centers (the PIL/OpenCV convention,
+    so down- and up-scales stay centered), ``rint`` rounding for
+    determinism.  Returns ``new_height × new_width × channels`` bytes."""
+    if _np is None:  # pragma: no cover
+        raise NotImplementedError("resize_pixels requires numpy")
+    if min(width, height, new_width, new_height) <= 0:
+        raise ValueError("dimensions must be positive")
+    n = width * height
+    if len(pixels) % n != 0 or len(pixels) // n not in (1, 2, 3, 4):
+        raise ValueError(
+            f"pixel buffer ({len(pixels)} B) is not 1-4 channels of {width}x{height}"
+        )
+    ch = len(pixels) // n
+    src = _np.frombuffer(bytes(pixels), dtype=_np.uint8).astype(_np.float64)
+    src = src.reshape(height, width, ch)
+    # half-pixel centers: output pixel i samples input coord (i+.5)*scale-.5
+    xs = _np.clip((_np.arange(new_width) + 0.5) * (width / new_width) - 0.5, 0, width - 1)
+    ys = _np.clip((_np.arange(new_height) + 0.5) * (height / new_height) - 0.5, 0, height - 1)
+    x0 = _np.floor(xs).astype(_np.int64)
+    y0 = _np.floor(ys).astype(_np.int64)
+    x1 = _np.minimum(x0 + 1, width - 1)
+    y1 = _np.minimum(y0 + 1, height - 1)
+    fx = (xs - x0)[None, :, None]
+    fy = (ys - y0)[:, None, None]
+    top = src[y0][:, x0] * (1 - fx) + src[y0][:, x1] * fx
+    bot = src[y1][:, x0] * (1 - fx) + src[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return _np.clip(_np.rint(out), 0, 255).astype(_np.uint8).tobytes()
+
+
+#: channels → the PNG color type that round-trips them (gray, gray+alpha,
+#: RGB, RGBA) — the inverse of _PNG_CHANNELS.
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
 def resize_image(payload: bytes, width: int, height: int, *, fake: bool = False) -> bytes:
-    """STUB — real resize needs PIL/libvips (absent here).  ``fake=True``
-    returns a deterministic truncation/padding to width*height bytes so the
-    batch plumbing (shapes, schemas) is testable."""
-    if not fake:
-        raise NotImplementedError("image resize requires PIL/libvips")
-    need = width * height
-    return (payload * (need // max(len(payload), 1) + 1))[:need]
+    """REAL image resize, no PIL: decode (PNG/GIF/JPEG via the in-repo
+    stdlib decoders) → :func:`resize_pixels` bilinear → lossless PNG
+    re-encode preserving the channel shape.  Deterministic end-to-end
+    (fixed sample grid, ``rint``, filter-0 PNG), so resized payloads are
+    stable keys for downstream dedup.  ``fake=True`` keeps the legacy
+    plumbing-test byte-padding path."""
+    if fake:
+        need = width * height
+        return (payload * (need // max(len(payload), 1) + 1))[:need]
+    w0, h0, pix = decode_image(payload)
+    ch = len(pix) // (w0 * h0)
+    resized = resize_pixels(w0, h0, pix, width, height)
+    return encode_png(width, height, resized, color_type=_PNG_COLOR_TYPE[ch])
+
+
+# --- video containers ---------------------------------------------------------
+# RIFF/AVI is the one video container a from-scratch stdlib parser can
+# honestly support (public spec, chunk-tree structure, MJPEG frames are
+# plain JPEG streams our codec decodes).  MP4/WebM need a full
+# ISO-BMFF/Matroska + inter-frame codec stack — those stay ffmpeg-gated.
+
+
+def _avi_video_frames(payload: bytes) -> list[bytes]:
+    """All stream-0 video frame payloads (``00dc`` compressed / ``00db``
+    uncompressed chunks) of a RIFF/AVI byte string, in container order —
+    an iterative chunk-tree walk (LIST chunks recurse; word alignment per
+    the RIFF spec)."""
+    frames: list[bytes] = []
+    # (start, end) spans of chunk sequences still to walk
+    stack = [(12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0]))]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = pos + 8
+            if cid == b"LIST" and size >= 4:
+                # list body after its 4-byte type ('movi', 'rec ', 'hdrl', ...)
+                stack.append((body + 4, min(body + size, end)))
+            elif cid in (b"00dc", b"00db") and size > 0:
+                frames.append(payload[body : body + size])
+            pos = body + size + (size & 1)  # chunks are word-aligned
+    return frames
+
+
+def encode_avi_mjpeg(
+    width: int, height: int, frames: "list[bytes]", fps: int = 25
+) -> bytes:
+    """Minimal spec-valid MJPEG AVI writer — the fixture-builder twin of
+    :func:`_avi_video_frames` (the role ``encode_png`` / ``pcm16_wav_bytes``
+    play for images/audio): tests synthesize REAL video containers whose
+    frames are in-repo ``encode_jpeg`` streams, and prove the sampler
+    recovers the exact frame bytes."""
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(ltype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", ltype + data)
+
+    bufsize = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, bufsize * fps, 0, 0, len(frames), 0, 1,
+        bufsize, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        # flags, priority, language, initial, scale, rate (fps = rate/scale),
+        # start, length, bufsize, quality (-1 = default), samplesize (0 = video)
+        + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, len(frames), bufsize, -1, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def sample_frames(payload: bytes, every_n: int = 10, *, fake: bool = False) -> list[bytes]:
-    """STUB — real frame sampling needs ffmpeg (absent).  ``fake=True``
-    treats the payload as fixed-size pseudo-frames and returns every n-th."""
-    if not fake:
-        raise NotImplementedError("frame sampling requires ffmpeg")
-    frame_size = 64
-    frames = [payload[i : i + frame_size] for i in range(0, len(payload), frame_size)]
-    return frames[::every_n]
+    """Every n-th video frame of a RIFF/AVI payload (REAL — see
+    :func:`_avi_video_frames`; MJPEG frames are JPEG streams the in-repo
+    codec decodes).  Non-AVI containers raise ``NotImplementedError``
+    (ffmpeg-gated); ``fake=True`` keeps the legacy fixed-64-byte
+    pseudo-frame path the plumbing tests use."""
+    if fake:
+        frame_size = 64
+        frames = [payload[i : i + frame_size] for i in range(0, len(payload), frame_size)]
+        return frames[::every_n]
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "non-AVI video frame sampling requires ffmpeg; not available in this environment"
+        )
+    return _avi_video_frames(payload)[::every_n]
 
 
 FRAME_SCHEMA = StructType([
@@ -513,10 +643,15 @@ FRAME_SCHEMA = StructType([
 ])
 
 
-def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+def sample_video_frames(
+    media: DataFrame, every_n: int = 10, *, fake: bool = True
+) -> DataFrame:
     """video rows → one row per sampled frame (explode shape: the Arrow
     batches carry binary frames, the downstream feature extractor reuses
-    extract_media_features' discipline)."""
+    extract_media_features' discipline).  ``fake=False`` runs the REAL
+    RIFF/AVI frame walk — MJPEG frames come back as JPEG byte strings the
+    in-repo codec (and so ``phash_image_dedup``) consumes directly; rows
+    the sampler cannot parse are skipped (explode semantics: no frames)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -526,7 +661,11 @@ def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                     continue
                 raw = pdf["payload"].iat[i]
                 raw = bytes(raw) if raw is not None else b""
-                for idx, frame in enumerate(sample_frames(raw, every_n, fake=True)):
+                try:
+                    frames = sample_frames(raw, every_n, fake=fake)
+                except NotImplementedError:
+                    continue
+                for idx, frame in enumerate(frames):
                     out["media_id"].append(pdf["media_id"].iat[i])
                     out["frame_idx"].append(idx)
                     out["frame"].append(frame)
@@ -534,6 +673,62 @@ def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         batches, schema=FRAME_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("media_id", LongType(), True),
+    StructField("payload", BinaryType(), True),     # resized, PNG-encoded
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("error", StringType(), True),
+])
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    *,
+    max_pixels: "int | None" = DEFAULT_MAX_PIXELS,
+) -> DataFrame:
+    """image rows → (media_id, payload=resized PNG, width, height, error):
+    one Arrow-batched ``mapInPandas`` pass over the binary column, real
+    decode → bilinear → PNG re-encode per row, failures as an ``error``
+    column (never a task kill) — the thumbnail/normalize stage a training
+    pipeline runs before batching images to a vision encoder.  One output
+    row per input image row; non-image rows are filtered scan-side."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {f.name: [] for f in RESIZE_SCHEMA.fields}
+            for i in range(len(pdf)):
+                raw = pdf["payload"].iat[i]
+                raw = bytes(raw) if raw is not None else b""
+                err = resized = None
+                try:
+                    w0, h0, pix = decode_image(raw, max_pixels=max_pixels)
+                    ch = len(pix) // (w0 * h0)
+                    resized = encode_png(
+                        width, height,
+                        resize_pixels(w0, h0, pix, width, height),
+                        color_type=_PNG_COLOR_TYPE[ch],
+                    )
+                except NotImplementedError:
+                    err = "decoder_unavailable"
+                except Exception as e:  # noqa: BLE001 — error-column contract
+                    err = f"resize_error: {e}"
+                out["media_id"].append(pdf["media_id"].iat[i])
+                out["payload"].append(resized)
+                out["width"].append(width if resized is not None else None)
+                out["height"].append(height if resized is not None else None)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(batches, schema=RESIZE_SCHEMA)
     )
 
 
