@@ -1889,6 +1889,91 @@ def test_video_frames_and_resize_spark_real(spark):
     assert (rz[3].width, rz[3].height, rz[3].error) == (4, 5, None)
 
 
+def _tone_wav(freqs, gain=1.0, n=32000, sr=16000, channels=1):
+    import math
+
+    from readability_php_spark.operators.multimodal import pcm16_wav_bytes
+
+    mono = [
+        sum(12000 * gain * math.sin(2 * math.pi * f * t / sr) for f in freqs)
+        for t in range(n)
+    ]
+    if channels == 2:
+        return pcm16_wav_bytes([v for s in mono for v in (s, s)], sr, channels=2)
+    return pcm16_wav_bytes(mono, sr)
+
+
+def test_audio_fingerprint_invariances():
+    """Haitsma-Kalker-style fingerprint laws: deterministic; EXACTLY
+    invariant to gain scaling and to mono/stereo duplication; robust to
+    ~1% additive noise; discriminative across spectral content; honest
+    errors for short/garbage payloads."""
+    import random
+
+    from readability_php_spark.operators.audio_dedup import audio_fingerprint
+    from readability_php_spark.operators.multimodal import pcm16_wav_bytes
+
+    ham = lambda x, y: bin(x ^ y).count("1")  # noqa: E731
+    fa = audio_fingerprint(_tone_wav([440, 950]))
+    assert fa == audio_fingerprint(_tone_wav([440, 950]))
+    assert 0 <= fa < (1 << 63)
+    for gain in (0.5, 0.1, 0.01):
+        assert ham(fa, audio_fingerprint(_tone_wav([440, 950], gain=gain))) == 0
+    assert ham(fa, audio_fingerprint(_tone_wav([440, 950], channels=2))) == 0
+    import math
+
+    rng = random.Random(3)
+    noisy = pcm16_wav_bytes(
+        [
+            12000 * (math.sin(2 * math.pi * 440 * t / 16000)
+                     + math.sin(2 * math.pi * 950 * t / 16000))
+            + rng.gauss(0, 120)
+            for t in range(32000)
+        ],
+        16000,
+    )
+    assert ham(fa, audio_fingerprint(noisy)) <= 2
+    fb = audio_fingerprint(_tone_wav([620, 1800, 2500]))
+    assert ham(fa, fb) > 10
+    with pytest.raises(ValueError, match="too short"):
+        audio_fingerprint(pcm16_wav_bytes([0] * 1000, 16000))
+    with pytest.raises(ValueError, match="RIFF"):
+        audio_fingerprint(b"garbage")
+
+
+def test_audio_fingerprint_dedup_spark(spark):
+    """End-to-end audio dedup: gain-scaled and stereo-duplicated copies of
+    the same recording collapse into one keeper group; distinct content
+    stays apart; undecodable rows drop out with error rows available via
+    compute_audio_fingerprint."""
+    from readability_php_spark.operators.audio_dedup import (
+        audio_fingerprint_dedup,
+        compute_audio_fingerprint,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(_tone_wav([440, 950]))),
+            (2, "audio", bytearray(_tone_wav([440, 950], gain=0.5))),
+            (3, "audio", bytearray(_tone_wav([440, 950], channels=2))),
+            (4, "audio", bytearray(_tone_wav([620, 1800, 2500]))),
+            (5, "audio", bytearray(b"not audio")),
+            (6, "image", bytearray(b"\x89PNG")),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    out = {r.media_id: r for r in audio_fingerprint_dedup(media).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].keeper == out[2].keeper == out[3].keeper == 1
+    assert out[1].is_keeper and not out[2].is_keeper and not out[3].is_keeper
+    assert out[4].keeper == 4 and out[4].is_keeper
+    errs = {
+        r.media_id: r.error for r in compute_audio_fingerprint(media).collect()
+    }
+    assert set(errs) == {1, 2, 3, 4, 5}  # image row filtered scan-side
+    assert errs[5] is not None and errs[1] is None
+
+
 def test_tfidf_keywords_ranks_distinctive_terms(spark):
     from readability_php_spark.operators.text_analysis import tfidf_keywords
 
