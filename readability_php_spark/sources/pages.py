@@ -78,8 +78,45 @@ def fixture_corpus_df(
     fixture_dir: str = FIXTURE_DIR,
     num_partitions: Optional[int] = None,
 ) -> DataFrame:
-    rows = list(fixture_corpus_rows(replicas, fixture_dir))
-    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    """The fixture corpus as a DataFrame.  Replication happens SPARK-side:
+    only the 89 base pages (~19 MB) transit the driver, and the ×replicas
+    fan-out is a join against ``spark.range(replicas)`` with column-op
+    url/timestamp rewrites — row-identical to :func:`fixture_corpus_rows`
+    (differential-tested) but flat in driver memory, where the old
+    materialize-all-rows path held replicas × 19 MB in the driver and JVM
+    heap (a ×600 corpus OOM'd a 24 GB driver)."""
+    cases = sorted(
+        d for d in os.listdir(fixture_dir)
+        if os.path.isdir(os.path.join(fixture_dir, d))
+    )
+    base_rows = []
+    for ci, case in enumerate(cases):
+        with open(os.path.join(fixture_dir, case, "source.html"), "rb") as f:
+            raw = f.read()
+        base_rows.append((case, ci, raw, _FIXTURE_LANGS.get(case, "en")))
+    base = spark.createDataFrame(
+        base_rows, "case string, case_idx int, html binary, lang string"
+    )
+    n_cases = len(cases)
+    df = (
+        base.crossJoin(spark.range(replicas).select(F.col("id").alias("k")))
+        .select(
+            F.concat(
+                F.lit("http://fakehost/"), "case", F.lit("/"),
+                F.col("k").cast("string"), F.lit(".html"),
+            ).alias("url"),
+            # row index i = k·n_cases + case_idx, matching the generator;
+            # timestampadd over a naive timestamp literal stays identical
+            # to the generator's naive datetimes in ANY session timezone
+            F.expr(
+                f"timestampadd(SECOND, k * {n_cases} + case_idx, "
+                f"TIMESTAMP '{_EPOCH:%Y-%m-%d %H:%M:%S}')"
+            ).alias("warc_ts"),
+            "html",
+            F.lit(None).cast("string").alias("text"),
+            "lang",
+        )
+    )
     if num_partitions:
         df = df.repartition(num_partitions)
     return df

@@ -1770,6 +1770,27 @@ def test_video_frame_sampling(spark):
         assert sorted(idxs) == list(range(len(idxs)))
 
 
+def test_fixture_corpus_spark_side_replication_identical(spark):
+    """fixture_corpus_df replicates SPARK-side (89 base pages × range join
+    — flat in driver memory; the old materialize-all path OOM'd a 24 GB
+    driver at ×600) and must stay row-identical to the generator law:
+    same urls, timestamps, bytes, langs."""
+    from readability_php_spark.sources.pages import (
+        fixture_corpus_df,
+        fixture_corpus_rows,
+    )
+
+    got = {
+        r.url: (r.warc_ts, bytes(r.html)[:64], r.text, r.lang)
+        for r in fixture_corpus_df(spark, replicas=3).collect()
+    }
+    want = {
+        u: (ts, bytes(h)[:64], t, lang)
+        for (u, ts, h, t, lang) in fixture_corpus_rows(3)
+    }
+    assert got == want and len(got) == 3 * 89
+
+
 def test_resize_pixels_laws():
     """Bilinear core: identity is byte-exact, constants stay constant
     across any scale, monotone ramps stay monotone, channel shapes 1-4
