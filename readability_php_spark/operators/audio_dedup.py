@@ -55,7 +55,7 @@ except ImportError:  # pragma: no cover
 
 from .dedup import connected_components
 from .image_dedup import phash_near_dup_candidates
-from .multimodal import WAV_MAGIC
+from .multimodal import wav_pcm16_chunks
 
 #: band-edge frequency range (Hz): the Haitsma–Kalker paper's 300–2000 Hz
 #: band, widened to 3 kHz — still inside the 8 kHz Nyquist of even
@@ -68,36 +68,29 @@ _N_BANDS = 17           # 17 edges-1 = 16 difference bits per frame
 _N_SEGMENTS = 4         # temporal majority segments → 4 × 16 = 64 bits
 _MIN_FRAMES = 8         # below this the majority vote is meaningless
 
+#: per-payload sample budget — the audio twin of multimodal's
+#: DEFAULT_MAX_PIXELS: one pathological hour-long WAV would otherwise
+#: allocate GBs of float64/complex intermediates inside a single
+#: mapInPandas row and OOM-kill the task the error-column contract
+#: promises never dies.  16M mono samples ≈ 17 min @ 16 kHz ≈ 128 MB of
+#: float64 — over-budget rows surface as error rows instead.
+DEFAULT_MAX_SAMPLES = 16_000_000
 
-def _wav_pcm(payload: bytes) -> "tuple[int, _np.ndarray]":
+
+def _wav_pcm(
+    payload: bytes, max_samples: "int | None" = DEFAULT_MAX_SAMPLES
+) -> "tuple[int, _np.ndarray]":
     """(sample_rate, mono float64 array in [-1, 1]) of a 16-bit PCM WAV —
     the sample-reading sibling of :func:`multimodal.decode_wav` (which
-    returns summary stats only).  Multi-channel audio is averaged to mono
-    (fingerprinting operates on the mix, matching the reference system)."""
-    import struct
-
-    if payload[:4] != WAV_MAGIC or payload[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE file")
-    pos = 12
-    sample_rate = channels = None
-    data = None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
-        chunk = payload[pos + 8 : pos + 8 + size]
-        if cid == b"fmt ":
-            if size < 16:
-                raise ValueError("truncated fmt chunk")
-            fmt, channels, sample_rate, _, _, bits = struct.unpack("<HHIIHH", chunk[:16])
-            if fmt != 1 or bits != 16:
-                raise ValueError("PCM 16-bit WAV only")
-        elif cid == b"data":
-            data = chunk
-        pos += 8 + size + (size & 1)
-    if sample_rate is None or data is None:
-        raise ValueError("WAV missing fmt or data chunk")
-    if len(data) % 2:
-        raise ValueError("odd PCM data length")
+    returns summary stats); both parse through the shared
+    :func:`multimodal.wav_pcm16_chunks` walk, so format guards live once.
+    Multi-channel audio is averaged to mono (fingerprinting operates on
+    the mix, matching the reference system)."""
+    sample_rate, channels, data = wav_pcm16_chunks(payload)
+    if max_samples is not None and len(data) // 2 > max_samples:
+        raise ValueError(
+            f"audio over budget: {len(data) // 2} samples > {max_samples}"
+        )
     pcm = _np.frombuffer(data, dtype="<i2").astype(_np.float64) / 32768.0
     if channels and channels > 1:
         usable = len(pcm) - (len(pcm) % channels)
@@ -106,23 +99,39 @@ def _wav_pcm(payload: bytes) -> "tuple[int, _np.ndarray]":
 
 
 def audio_fingerprint(
-    payload: bytes, *, frame: int = 1024, hop: int = 512
+    payload: bytes,
+    *,
+    frame: int = 1024,
+    hop: int = 512,
+    max_samples: "int | None" = DEFAULT_MAX_SAMPLES,
 ) -> int:
     """63-bit Haitsma–Kalker fingerprint of a PCM WAV payload (see module
     docstring for the construction).  Deterministic, gain-invariant.
-    Raises ``ValueError`` for structurally bad / too-short audio and
-    ``NotImplementedError`` when numpy is unavailable."""
+    Raises ``ValueError`` for structurally bad / too-short / over-budget
+    audio and ``NotImplementedError`` when numpy is unavailable."""
     if _np is None:  # pragma: no cover
         raise NotImplementedError("audio_fingerprint requires numpy")
-    sr, pcm = _wav_pcm(payload)
+    sr, pcm = _wav_pcm(payload, max_samples)
+    return _fingerprint_pcm(sr, pcm, frame=frame, hop=hop)
+
+
+def _fingerprint_pcm(
+    sr: int, pcm: "_np.ndarray", *, frame: int = 1024, hop: int = 512
+) -> int:
+    """Fingerprint math over already-decoded mono samples — split out so
+    the Spark extractor decodes each payload exactly ONCE for both the
+    fingerprint and the (sample_rate, duration) metadata."""
     n_frames = 1 + max(0, (len(pcm) - frame)) // hop if len(pcm) >= frame else 0
     if n_frames < _MIN_FRAMES:
         raise ValueError(
             f"audio too short: {n_frames} frames < {_MIN_FRAMES} "
             f"(need ≥ {frame + (_MIN_FRAMES - 1) * hop} samples)"
         )
-    idx = _np.arange(frame)[None, :] + hop * _np.arange(n_frames)[:, None]
-    frames = pcm[idx] * _np.hanning(frame)[None, :]
+    # stride view, not fancy indexing: no n_frames×frame int64 index
+    # matrix and no gathered copy — the only materialized
+    # (n_frames, frame) array is the windowed product below
+    view = _np.lib.stride_tricks.sliding_window_view(pcm, frame)[::hop][:n_frames]
+    frames = view * _np.hanning(frame)[None, :]
     spec = _np.abs(_np.fft.rfft(frames, axis=1)) ** 2  # (n_frames, frame//2+1)
     # log-spaced band edges in Hz → rfft bin indices (monotone by
     # construction; duplicate edges at tiny frame sizes collapse a band
@@ -175,9 +184,9 @@ def compute_audio_fingerprint(media: DataFrame) -> DataFrame:
                 err = None
                 afp = sr = dur = None
                 try:
-                    fp = audio_fingerprint(raw)
-                    rate, pcm = _wav_pcm(raw)
-                    afp, sr = fp, rate
+                    rate, pcm = _wav_pcm(raw)  # decode ONCE per payload
+                    afp = _fingerprint_pcm(rate, pcm)
+                    sr = rate
                     dur = round(len(pcm) / rate, 3) if rate else None
                 except NotImplementedError:
                     err = "decoder_unavailable"

@@ -536,7 +536,14 @@ def resize_pixels(
 _PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
 
 
-def resize_image(payload: bytes, width: int, height: int, *, fake: bool = False) -> bytes:
+def resize_image(
+    payload: bytes,
+    width: int,
+    height: int,
+    *,
+    fake: bool = False,
+    max_pixels: "int | None" = None,
+) -> bytes:
     """REAL image resize, no PIL: decode (PNG/GIF/JPEG via the in-repo
     stdlib decoders) → :func:`resize_pixels` bilinear → lossless PNG
     re-encode preserving the channel shape.  Deterministic end-to-end
@@ -546,7 +553,7 @@ def resize_image(payload: bytes, width: int, height: int, *, fake: bool = False)
     if fake:
         need = width * height
         return (payload * (need // max(len(payload), 1) + 1))[:need]
-    w0, h0, pix = decode_image(payload)
+    w0, h0, pix = decode_image(payload, max_pixels=max_pixels)
     ch = len(pix) // (w0 * h0)
     resized = resize_pixels(w0, h0, pix, width, height)
     return encode_png(width, height, resized, color_type=_PNG_COLOR_TYPE[ch])
@@ -562,24 +569,33 @@ def resize_image(payload: bytes, width: int, height: int, *, fake: bool = False)
 def _avi_video_frames(payload: bytes) -> list[bytes]:
     """All stream-0 video frame payloads (``00dc`` compressed / ``00db``
     uncompressed chunks) of a RIFF/AVI byte string, in container order —
-    an iterative chunk-tree walk (LIST chunks recurse; word alignment per
-    the RIFF spec)."""
+    an iterative chunk-tree walk (word alignment per the RIFF spec).  A
+    LIST chunk ('movi', and the 'rec ' groups VfW-style interleaved
+    muxers wrap frames in) is descended into IMMEDIATELY, with the
+    continuation after it pushed for later — document order, exactly as a
+    recursive walk would visit, without recursion depth limits."""
     frames: list[bytes] = []
-    # (start, end) spans of chunk sequences still to walk
-    stack = [(12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0]))]
-    while stack:
-        pos, end = stack.pop()
+    # continuations: (resume_pos, end) of suspended outer chunk sequences
+    stack: list = []
+    pos = 12
+    end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    while True:
         while pos + 8 <= end:
             cid = payload[pos : pos + 4]
             (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
             body = pos + 8
+            nxt = body + size + (size & 1)  # chunks are word-aligned
             if cid == b"LIST" and size >= 4:
-                # list body after its 4-byte type ('movi', 'rec ', 'hdrl', ...)
-                stack.append((body + 4, min(body + size, end)))
-            elif cid in (b"00dc", b"00db") and size > 0:
+                # descend now (list body after its 4-byte type), resume after
+                stack.append((nxt, end))
+                pos, end = body + 4, min(body + size, end)
+                continue
+            if cid in (b"00dc", b"00db") and size > 0:
                 frames.append(payload[body : body + size])
-            pos = body + size + (size & 1)  # chunks are word-aligned
-    return frames
+            pos = nxt
+        if not stack:
+            return frames
+        pos, end = stack.pop()
 
 
 def encode_avi_mjpeg(
@@ -640,6 +656,7 @@ FRAME_SCHEMA = StructType([
     StructField("media_id", LongType(), True),
     StructField("frame_idx", IntegerType(), True),
     StructField("frame", BinaryType(), True),
+    StructField("error", StringType(), True),
 ])
 
 
@@ -650,8 +667,10 @@ def sample_video_frames(
     batches carry binary frames, the downstream feature extractor reuses
     extract_media_features' discipline).  ``fake=False`` runs the REAL
     RIFF/AVI frame walk — MJPEG frames come back as JPEG byte strings the
-    in-repo codec (and so ``phash_image_dedup``) consumes directly; rows
-    the sampler cannot parse are skipped (explode semantics: no frames)."""
+    in-repo codec (and so ``phash_image_dedup``) consumes directly; a row
+    the sampler cannot parse yields ONE null-frame row carrying ``error``
+    (same auditability contract as the image/audio extractors — decode
+    coverage stays measurable downstream)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -663,12 +682,17 @@ def sample_video_frames(
                 raw = bytes(raw) if raw is not None else b""
                 try:
                     frames = sample_frames(raw, every_n, fake=fake)
-                except NotImplementedError:
+                except NotImplementedError as e:
+                    out["media_id"].append(pdf["media_id"].iat[i])
+                    out["frame_idx"].append(None)
+                    out["frame"].append(None)
+                    out["error"].append(f"decoder_unavailable: {e}")
                     continue
                 for idx, frame in enumerate(frames):
                     out["media_id"].append(pdf["media_id"].iat[i])
                     out["frame_idx"].append(idx)
                     out["frame"].append(frame)
+                    out["error"].append(None)
             yield pd.DataFrame(out)
 
     return media.select("media_id", "kind", "payload").mapInPandas(
@@ -707,12 +731,8 @@ def resize_images(
                 raw = bytes(raw) if raw is not None else b""
                 err = resized = None
                 try:
-                    w0, h0, pix = decode_image(raw, max_pixels=max_pixels)
-                    ch = len(pix) // (w0 * h0)
-                    resized = encode_png(
-                        width, height,
-                        resize_pixels(w0, h0, pix, width, height),
-                        color_type=_PNG_COLOR_TYPE[ch],
+                    resized = resize_image(
+                        raw, width, height, max_pixels=max_pixels
                     )
                 except NotImplementedError:
                     err = "decoder_unavailable"
@@ -812,13 +832,12 @@ def pcm16_wav_bytes(samples, sample_rate: int = 16000, channels: int = 1) -> byt
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
-    """Real WAV parse with nothing but the stdlib: RIFF chunk walk →
-    ``fmt `` (PCM, 16-bit only) → ``data`` → ``(sample_rate, channels,
-    n_samples, rms)`` where rms = sqrt(mean(sample²)) rounded to 4
-    decimals (n_samples counts frames across channels).  Raises
-    ``ValueError`` on non-PCM, non-16-bit, or structural corruption."""
-    import math
+def wav_pcm16_chunks(payload: bytes) -> tuple[int, int, bytes]:
+    """The shared RIFF/WAVE chunk walk: ``(sample_rate, channels,
+    pcm_data_bytes)`` of a 16-bit PCM WAV.  Both :func:`decode_wav` (stats)
+    and the audio fingerprinter (samples) parse through here, so format
+    guards and recovery live in ONE place.  Raises ``ValueError`` on
+    non-PCM, non-16-bit, or structural corruption."""
     import struct
 
     if payload[:4] != WAV_MAGIC or payload[8:12] != b"WAVE":
@@ -847,6 +866,18 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
         raise ValueError("WAV missing fmt or data chunk")
     if len(data) % 2:
         raise ValueError("odd PCM data length")
+    return sample_rate, channels, data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """Real WAV parse with nothing but the stdlib: RIFF chunk walk →
+    ``fmt `` (PCM, 16-bit only) → ``data`` → ``(sample_rate, channels,
+    n_samples, rms)`` where rms = sqrt(mean(sample²)) rounded to 4
+    decimals (n_samples counts frames across channels).  Raises
+    ``ValueError`` on non-PCM, non-16-bit, or structural corruption."""
+    import math
+
+    sample_rate, channels, data = wav_pcm16_chunks(payload)
     n = len(data) // 2
     if n == 0:
         return sample_rate, channels, 0, 0.0

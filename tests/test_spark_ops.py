@@ -1871,6 +1871,35 @@ def test_avi_mjpeg_frame_sampling_real():
         sample_frames(b"\x00" * 100, 1)
 
 
+def test_avi_rec_grouped_frames_in_document_order():
+    """VfW-style interleaved AVIs wrap frames in 'rec ' LISTs inside
+    movi; the walk must return DOCUMENT order across nested lists and
+    direct chunks (pre-fix, a LIFO stack emitted rec groups reversed and
+    after any direct siblings)."""
+    import struct
+
+    from readability_php_spark.operators.multimodal import sample_frames
+
+    def chunk(cid, data):
+        return cid + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(ltype, data):
+        return chunk(b"LIST", ltype + data)
+
+    f = [bytes([65 + i]) * 10 for i in range(6)]
+    movi = lst(
+        b"movi",
+        lst(b"rec ", chunk(b"00dc", f[0]) + chunk(b"00dc", f[1]))
+        + chunk(b"00dc", f[2])
+        + lst(b"rec ", chunk(b"00dc", f[3]) + chunk(b"00dc", f[4]))
+        + chunk(b"00dc", f[5]),
+    )
+    body = b"AVI " + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert sample_frames(avi, 1) == f
+    assert sample_frames(avi, 3) == f[::3]
+
+
 def test_video_frames_and_resize_spark_real(spark):
     """End-to-end Spark composition on REAL payloads: MJPEG AVI rows →
     sample_video_frames(fake=False) explodes genuine JPEG frames; image
@@ -1900,8 +1929,12 @@ def test_video_frames_and_resize_spark_real(spark):
         "media_id long, kind string, payload binary",
     )
     got = sample_video_frames(media, every_n=2, fake=False).collect()
-    assert {(r.media_id, r.frame_idx) for r in got} == {(1, 0), (1, 1)}
-    assert sorted(bytes(r.frame) for r in got) == sorted(frames[::2])
+    ok = [r for r in got if r.error is None]
+    bad = [r for r in got if r.error is not None]
+    assert {(r.media_id, r.frame_idx) for r in ok} == {(1, 0), (1, 1)}
+    assert sorted(bytes(r.frame) for r in ok) == sorted(frames[::2])
+    # the unparseable video row surfaces as ONE null-frame error row
+    assert [(r.media_id, r.frame_idx, r.frame) for r in bad] == [(2, None, None)]
     rz = {r.media_id: r for r in resize_images(media, 4, 5).collect()}
     assert set(rz) == {3, 4}
     assert rz[4].error is not None and rz[4].payload is None
@@ -1960,6 +1993,9 @@ def test_audio_fingerprint_invariances():
         audio_fingerprint(pcm16_wav_bytes([0] * 1000, 16000))
     with pytest.raises(ValueError, match="RIFF"):
         audio_fingerprint(b"garbage")
+    # sample budget: over-budget audio is an error row, never a task OOM
+    with pytest.raises(ValueError, match="over budget"):
+        audio_fingerprint(_tone_wav([440]), max_samples=10_000)
 
 
 def test_audio_fingerprint_dedup_spark(spark):
