@@ -635,6 +635,119 @@ def encode_avi_mjpeg(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def avi_dimensions(payload: bytes) -> tuple[int, int]:
+    """(width, height) from an AVI main header (``avih``, inside the
+    ``hdrl`` LIST) — header-only, no frame decode."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    stack: list = []
+    pos = 12
+    end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    while True:
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = pos + 8
+            nxt = body + size + (size & 1)
+            if cid == b"LIST" and size >= 4:
+                stack.append((nxt, end))
+                pos, end = body + 4, min(body + size, end)
+                continue
+            if cid == b"avih" and size >= 40:
+                w, h = struct.unpack("<II", payload[body + 32 : body + 40])
+                return w, h
+            pos = nxt
+        if not stack:
+            raise ValueError("AVI missing avih header")
+        pos, end = stack.pop()
+
+
+#: ISO-BMFF container boxes worth descending into for moov metadata
+_BMFF_CONTAINERS = frozenset((b"moov", b"trak", b"mdia", b"minf", b"stbl"))
+
+
+def mp4_video_metadata(payload: bytes) -> "tuple[int | None, int | None, float | None]":
+    """Header-only MP4/ISO-BMFF metadata: ``(width, height, duration_s)``
+    from the ``moov`` box tree — ``tkhd``'s 16.16 fixed-point presentation
+    size (first track with a nonzero size wins, i.e. the video track) and
+    ``mvhd``'s timescale/duration, both version 0 and 1 layouts.  The same
+    honest tier as ``jpeg_dimensions``: the curation-relevant metadata
+    without the codec stack frame DECODE would need (that stays
+    ffmpeg-gated).  Raises ``ValueError`` on non-BMFF payloads."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (MP4) file")
+    width = height = None
+    duration = None
+    stack: list = [(0, len(payload))]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            size = int.from_bytes(payload[pos : pos + 4], "big")
+            btype = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    break
+                size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
+                body = pos + 16
+            elif size == 0:  # box runs to end of enclosing span
+                size = end - pos
+            if size < 8:
+                break  # corrupt size: stop this span, keep what we have
+            bend = min(pos + size, end)
+            if btype in _BMFF_CONTAINERS:
+                stack.append((body, bend))
+            elif btype == b"mvhd" and bend - body >= 20:
+                ver = payload[body]
+                if ver == 1 and bend - body >= 32:
+                    ts = int.from_bytes(payload[body + 20 : body + 24], "big")
+                    d = int.from_bytes(payload[body + 24 : body + 32], "big")
+                else:
+                    ts = int.from_bytes(payload[body + 12 : body + 16], "big")
+                    d = int.from_bytes(payload[body + 16 : body + 20], "big")
+                if ts:
+                    duration = round(d / ts, 3)
+            elif btype == b"tkhd" and width is None:
+                ver = payload[body] if bend > body else 0
+                off = 88 if ver == 1 else 76  # width offset in box body
+                if bend - body >= off + 8:
+                    w = int.from_bytes(payload[body + off : body + off + 4], "big") >> 16
+                    h = int.from_bytes(payload[body + off + 4 : body + off + 8], "big") >> 16
+                    if w and h:
+                        width, height = w, h
+            pos += size
+    return width, height, duration
+
+
+def encode_mp4_stub(
+    width: int, height: int, duration_s: float, timescale: int = 1000
+) -> bytes:
+    """Minimal spec-valid ISO-BMFF skeleton (ftyp + moov(mvhd, trak(tkhd)))
+    — the fixture-builder twin of :func:`mp4_video_metadata`, carrying no
+    media data (tests prove the box walk recovers the exact metadata)."""
+
+    def box(btype: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(data)) + btype + data
+
+    d = int(round(duration_s * timescale))
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"                     # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, d)
+        + b"\x00" * 80,                         # rate..next_track_id
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"                     # version 0, enabled flags
+        + struct.pack(">IIIII", 0, 0, 1, 0, d)  # ids + duration
+        + b"\x00" * 52                          # reserved/layer/matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(
+        b"moov", mvhd + box(b"trak", tkhd)
+    )
+
+
 def sample_frames(payload: bytes, every_n: int = 10, *, fake: bool = False) -> list[bytes]:
     """Every n-th video frame of a RIFF/AVI payload (REAL — see
     :func:`_avi_video_frames`; MJPEG frames are JPEG streams the in-repo
@@ -778,6 +891,14 @@ def extract_media_features(
                             raw, fake=fake_decode, max_pixels=max_pixels
                         )
                         pixel_sum = sum(pix)
+                    elif kind == "video" and raw[4:8] == b"ftyp":
+                        # MP4: header-only dims/duration (same tier as the
+                        # progressive-JPEG dims fallback); frame decode
+                        # stays ffmpeg-gated so pixels are honestly absent
+                        width, height, _dur = mp4_video_metadata(raw)
+                        err = "pixels_unavailable"
+                    elif kind == "video" and raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                        width, height = avi_dimensions(raw)
                 except NotImplementedError:
                     err = "decoder_unavailable"
                     if raw[:3] == JPEG_MAGIC:

@@ -1900,6 +1900,45 @@ def test_avi_rec_grouped_frames_in_document_order():
     assert sample_frames(avi, 3) == f[::3]
 
 
+def test_video_header_metadata_mp4_and_avi(spark):
+    """Header-only video metadata: the ISO-BMFF box walk recovers tkhd
+    dims + mvhd duration (v0 layout via the stub twin), avi_dimensions
+    reads avih, and extract_media_features surfaces both — MP4 rows carry
+    pixels_unavailable (frame decode stays ffmpeg-gated), AVI rows decode
+    frames for real so no error."""
+    from readability_php_spark.operators.jpeg import encode_jpeg
+    from readability_php_spark.operators.multimodal import (
+        avi_dimensions,
+        encode_avi_mjpeg,
+        encode_mp4_stub,
+        extract_media_features,
+        mp4_video_metadata,
+    )
+
+    mp4 = encode_mp4_stub(1280, 720, 12.5)
+    assert mp4_video_metadata(mp4) == (1280, 720, 12.5)
+    with pytest.raises(ValueError, match="ISO-BMFF"):
+        mp4_video_metadata(b"\x00" * 64)
+    avi = encode_avi_mjpeg(
+        16, 16, [encode_jpeg(16, 16, bytes(16 * 16 * 3))]
+    )
+    assert avi_dimensions(avi) == (16, 16)
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(mp4)),
+            (2, "video", bytearray(avi)),
+            (3, "video", bytearray(b"not a container")),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert (rows[1].width, rows[1].height) == (1280, 720)
+    assert rows[1].error == "pixels_unavailable"
+    assert (rows[2].width, rows[2].height) == (16, 16)
+    assert rows[2].error is None
+    assert rows[3].width is None and rows[3].error is None
+
+
 def test_video_frames_and_resize_spark_real(spark):
     """End-to-end Spark composition on REAL payloads: MJPEG AVI rows →
     sample_video_frames(fake=False) explodes genuine JPEG frames; image
