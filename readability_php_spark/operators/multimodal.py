@@ -719,6 +719,100 @@ def mp4_video_metadata(payload: bytes) -> "tuple[int | None, int | None, float |
     return width, height, duration
 
 
+def _ebml_varint(buf: bytes, pos: int, keep_marker: bool) -> tuple[int, int, bool]:
+    """(value, next_pos, is_unknown) of the EBML varint at ``pos`` —
+    element IDs keep the length-marker bit (Matroska convention), sizes
+    strip it; an all-ones size payload means 'unknown, extends to the
+    parent's end' (streamed Segments use it)."""
+    if pos >= len(buf) or buf[pos] == 0:
+        raise ValueError("bad EBML varint")
+    length = 9 - buf[pos].bit_length()
+    if pos + length > len(buf):
+        raise ValueError("truncated EBML varint")
+    val = buf[pos] if keep_marker else buf[pos] & (0xFF >> length)
+    for i in range(1, length):
+        val = (val << 8) | buf[pos + i]
+    unknown = not keep_marker and val == (1 << (7 * length)) - 1
+    return val, pos + length, unknown
+
+
+#: Matroska/WebM container elements worth descending into for metadata
+_EBML_CONTAINERS = frozenset((
+    0x18538067,  # Segment
+    0x1549A966,  # Info
+    0x1654AE6B,  # Tracks
+    0xAE,        # TrackEntry
+    0xE0,        # Video
+))
+
+
+def webm_video_metadata(payload: bytes) -> "tuple[int | None, int | None, float | None]":
+    """Header-only WebM/Matroska metadata: ``(width, height, duration_s)``
+    from the EBML element tree — Tracks→TrackEntry→Video PixelWidth/
+    PixelHeight and Info's Duration × TimestampScale.  Same honest tier as
+    :func:`mp4_video_metadata` (frame decode needs VP8/VP9/AV1 — stays
+    ffmpeg-gated).  Raises ``ValueError`` on non-EBML payloads."""
+    if payload[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("not an EBML (WebM/Matroska) file")
+    width = height = None
+    dur_raw = None
+    tscale = 1_000_000  # Matroska default: ns per timestamp unit
+    stack: list = [(0, len(payload))]
+    while stack:
+        pos, end = stack.pop()
+        while pos < end:
+            try:
+                eid, p1, _ = _ebml_varint(payload, pos, keep_marker=True)
+                size, body, unknown = _ebml_varint(payload, p1, keep_marker=False)
+            except ValueError:
+                break  # corrupt tail: keep what we have
+            bend = end if unknown else min(body + size, end)
+            if eid in _EBML_CONTAINERS:
+                stack.append((body, bend))
+            elif eid == 0x2AD7B1 and bend > body:        # TimestampScale
+                tscale = int.from_bytes(payload[body:bend], "big")
+            elif eid == 0x4489 and bend - body in (4, 8):  # Duration (float)
+                dur_raw = struct.unpack(
+                    ">f" if bend - body == 4 else ">d", payload[body:bend]
+                )[0]
+            elif eid == 0xB0 and bend > body and width is None:   # PixelWidth
+                width = int.from_bytes(payload[body:bend], "big")
+            elif eid == 0xBA and bend > body and height is None:  # PixelHeight
+                height = int.from_bytes(payload[body:bend], "big")
+            pos = bend if not unknown else end
+    duration = round(dur_raw * tscale / 1e9, 3) if dur_raw is not None else None
+    return width, height, duration
+
+
+def encode_webm_stub(
+    width: int, height: int, duration_s: float, timescale_ns: int = 1_000_000
+) -> bytes:
+    """Minimal spec-valid WebM/EBML skeleton (EBML header + Segment(Info,
+    Tracks(TrackEntry(Video)))) — the fixture-builder twin of
+    :func:`webm_video_metadata`, no media data."""
+
+    def el(eid: int, data: bytes) -> bytes:
+        idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+        if len(data) > 126:
+            sz = b"\x40" + bytes([len(data)])  # 2-byte size, plenty here
+        else:
+            sz = bytes([0x80 | len(data)])
+        return idb + sz + data
+
+    def uint(v: int) -> bytes:
+        return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+    ebml = el(0x1A45DFA3, el(0x4282, b"webm") + el(0x4287, uint(4)))
+    info = el(
+        0x1549A966,
+        el(0x2AD7B1, uint(timescale_ns))
+        + el(0x4489, struct.pack(">d", duration_s * 1e9 / timescale_ns)),
+    )
+    video = el(0xE0, el(0xB0, uint(width)) + el(0xBA, uint(height)))
+    tracks = el(0x1654AE6B, el(0xAE, el(0xD7, uint(1)) + video))
+    return ebml + el(0x18538067, info + tracks)
+
+
 def encode_mp4_stub(
     width: int, height: int, duration_s: float, timescale: int = 1000
 ) -> bytes:
@@ -896,6 +990,9 @@ def extract_media_features(
                         # progressive-JPEG dims fallback); frame decode
                         # stays ffmpeg-gated so pixels are honestly absent
                         width, height, _dur = mp4_video_metadata(raw)
+                        err = "pixels_unavailable"
+                    elif kind == "video" and raw[:4] == b"\x1a\x45\xdf\xa3":
+                        width, height, _dur = webm_video_metadata(raw)
                         err = "pixels_unavailable"
                     elif kind == "video" and raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
                         width, height = avi_dimensions(raw)

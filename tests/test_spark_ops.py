@@ -1919,6 +1919,23 @@ def test_video_header_metadata_mp4_and_avi(spark):
     assert mp4_video_metadata(mp4) == (1280, 720, 12.5)
     with pytest.raises(ValueError, match="ISO-BMFF"):
         mp4_video_metadata(b"\x00" * 64)
+    from readability_php_spark.operators.multimodal import (
+        encode_webm_stub,
+        webm_video_metadata,
+    )
+
+    webm = encode_webm_stub(1920, 1080, 33.367)
+    assert webm_video_metadata(webm) == (1920, 1080, 33.367)
+    # streamed Matroska: Segment with the all-ones UNKNOWN size varint
+    # extends to end-of-parent — the walk must still find Info/Tracks
+    seg = webm.find(b"\x18\x53\x80\x67")
+    sz0 = webm[seg + 4]
+    old_len = 1 if sz0 & 0x80 else 2  # stub emits 1- or 2-byte sizes
+    unk = webm[: seg + 4] + b"\x01" + b"\xff" * 7 + webm[seg + 4 + old_len :]
+    assert webm_video_metadata(unk) == (1920, 1080, 33.367)
+    assert webm_video_metadata(encode_webm_stub(640, 360, 5.0, timescale_ns=500_000)) == (640, 360, 5.0)
+    with pytest.raises(ValueError, match="EBML"):
+        webm_video_metadata(b"\x00" * 64)
     avi = encode_avi_mjpeg(
         16, 16, [encode_jpeg(16, 16, bytes(16 * 16 * 3))]
     )
@@ -1928,6 +1945,7 @@ def test_video_header_metadata_mp4_and_avi(spark):
             (1, "video", bytearray(mp4)),
             (2, "video", bytearray(avi)),
             (3, "video", bytearray(b"not a container")),
+            (4, "video", bytearray(webm)),
         ],
         "media_id long, kind string, payload binary",
     )
@@ -1937,6 +1955,8 @@ def test_video_header_metadata_mp4_and_avi(spark):
     assert (rows[2].width, rows[2].height) == (16, 16)
     assert rows[2].error is None
     assert rows[3].width is None and rows[3].error is None
+    assert (rows[4].width, rows[4].height) == (1920, 1080)
+    assert rows[4].error == "pixels_unavailable"
 
 
 def test_video_frames_and_resize_spark_real(spark):
