@@ -2057,6 +2057,52 @@ def test_audio_fingerprint_invariances():
         audio_fingerprint(_tone_wav([440]), max_samples=10_000)
 
 
+def test_media_prep_pipeline(spark):
+    """Composed multimodal curation: image pHash dups and audio
+    fingerprint dups collapse to keepers in ONE call; video/undecodable
+    rows are kept (never silently dropped); resize_to rewrites exactly
+    the image keepers to the normalized PNG."""
+    from readability_php_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+    from readability_php_spark.plans.media_pipeline import media_prep
+
+    # same image content in two channel layouts: RGB vs RGBA (opaque
+    # alpha) — pHash ignores alpha, so the pair is a near-dup (hamming 0)
+    px = [(i * 7) % 256 for i in range(32 * 32)]
+    img_px = bytes(v for g in px for v in (g, g, g))
+    img_px_rgba = bytes(v for g in px for v in (g, g, g, 255))
+    img_a = encode_png(32, 32, img_px, color_type=2)
+    img_b = encode_png(32, 32, img_px_rgba, color_type=6)  # near-dup
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(img_a)),
+            (2, "image", bytearray(img_b)),
+            (3, "audio", bytearray(_tone_wav([440, 950]))),
+            (4, "audio", bytearray(_tone_wav([440, 950], gain=0.4))),
+            (5, "video", bytearray(b"whatever")),
+            (6, "image", bytearray(b"garbage")),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    out = {r.media_id: r for r in media_prep(media, resize_to=(8, 8)).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}  # one row per input row
+    assert out[1].is_keeper and out[2].keeper == 1 and not out[2].is_keeper
+    assert out[3].is_keeper and out[4].keeper == 3 and not out[4].is_keeper
+    assert out[5].is_keeper and out[6].is_keeper  # video + undecodable kept
+    # exactly the image keeper was normalized
+    assert out[1].resized and not any(
+        out[i].resized for i in (2, 3, 4, 5, 6)
+    )
+    w, h, pix = decode_image(bytes(out[1].payload))
+    assert (w, h, len(pix)) == (8, 8, 8 * 8 * 3)
+    assert bytes(out[2].payload) == img_b  # non-keeper payloads untouched
+    # without resize_to, payloads all pass through untouched
+    plain = {r.media_id: r for r in media_prep(media).collect()}
+    assert bytes(plain[1].payload) == img_a and not plain[1].resized
+
+
 def test_audio_fingerprint_dedup_spark(spark):
     """End-to-end audio dedup: gain-scaled and stereo-duplicated copies of
     the same recording collapse into one keeper group; distinct content
