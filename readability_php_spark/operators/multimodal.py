@@ -66,6 +66,8 @@ FEATURE_SCHEMA = StructType([
     #: an exact integer the oracle gate can recompute, proving the values
     #: came out of the real decoders rather than header arithmetic
     StructField("pixel_sum", LongType(), True),
+    #: container-declared duration (video: mvhd/EBML/avih) — None elsewhere
+    StructField("duration_s", FloatType(), True),
     StructField("error", StringType(), True),
 ])
 
@@ -635,9 +637,11 @@ def encode_avi_mjpeg(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def avi_dimensions(payload: bytes) -> tuple[int, int]:
-    """(width, height) from an AVI main header (``avih``, inside the
-    ``hdrl`` LIST) — header-only, no frame decode."""
+def avi_video_metadata(payload: bytes) -> "tuple[int, int, float | None]":
+    """(width, height, duration_s) from an AVI main header (``avih``,
+    inside the ``hdrl`` LIST: dwMicroSecPerFrame × dwTotalFrames, dwWidth,
+    dwHeight) — header-only, no frame decode.  ``ValueError`` on non-AVI
+    or truncated payloads."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     stack: list = []
@@ -653,13 +657,30 @@ def avi_dimensions(payload: bytes) -> tuple[int, int]:
                 stack.append((nxt, end))
                 pos, end = body + 4, min(body + size, end)
                 continue
-            if cid == b"avih" and size >= 40:
+            if cid == b"avih":
+                if size < 40 or body + 40 > len(payload):
+                    # declared-but-truncated header: documented ValueError,
+                    # never a struct.error leaking a different type
+                    raise ValueError("truncated avih header")
+                usec_pf, = struct.unpack("<I", payload[body : body + 4])
+                n_frames, = struct.unpack("<I", payload[body + 16 : body + 20])
                 w, h = struct.unpack("<II", payload[body + 32 : body + 40])
-                return w, h
+                dur = (
+                    round(usec_pf * n_frames / 1e6, 3)
+                    if usec_pf and n_frames
+                    else None
+                )
+                return w, h, dur
             pos = nxt
         if not stack:
             raise ValueError("AVI missing avih header")
         pos, end = stack.pop()
+
+
+def avi_dimensions(payload: bytes) -> tuple[int, int]:
+    """(width, height) of an AVI — see :func:`avi_video_metadata`."""
+    w, h, _ = avi_video_metadata(payload)
+    return w, h
 
 
 #: ISO-BMFF container boxes worth descending into for moov metadata
@@ -690,6 +711,8 @@ def mp4_video_metadata(payload: bytes) -> "tuple[int | None, int | None, float |
                     break
                 size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
                 body = pos + 16
+                if size < 16:  # a largesize below its own header length
+                    break      # would desynchronize the walk — stop span
             elif size == 0:  # box runs to end of enclosing span
                 size = end - pos
             if size < 8:
@@ -757,9 +780,12 @@ def webm_video_metadata(payload: bytes) -> "tuple[int | None, int | None, float 
     width = height = None
     dur_raw = None
     tscale = 1_000_000  # Matroska default: ns per timestamp unit
-    stack: list = [(0, len(payload))]
-    while stack:
-        pos, end = stack.pop()
+    # document-order walk (descend into a container immediately, resume
+    # after it later): with multiple video tracks the FIRST one wins,
+    # matching mp4_video_metadata's first-track law
+    stack: list = []
+    pos, end = 0, len(payload)
+    while True:
         while pos < end:
             try:
                 eid, p1, _ = _ebml_varint(payload, pos, keep_marker=True)
@@ -768,18 +794,27 @@ def webm_video_metadata(payload: bytes) -> "tuple[int | None, int | None, float 
                 break  # corrupt tail: keep what we have
             bend = end if unknown else min(body + size, end)
             if eid in _EBML_CONTAINERS:
-                stack.append((body, bend))
-            elif eid == 0x2AD7B1 and bend > body:        # TimestampScale
+                stack.append((bend if not unknown else end, end))
+                pos, end = body, bend
+                continue
+            if eid == 0x2AD7B1 and bend > body:          # TimestampScale
                 tscale = int.from_bytes(payload[body:bend], "big")
             elif eid == 0x4489 and bend - body in (4, 8):  # Duration (float)
                 dur_raw = struct.unpack(
                     ">f" if bend - body == 4 else ">d", payload[body:bend]
                 )[0]
             elif eid == 0xB0 and bend > body and width is None:   # PixelWidth
-                width = int.from_bytes(payload[body:bend], "big")
+                w = int.from_bytes(payload[body:bend], "big")
+                if w:  # a corrupt zero must not latch and mask later tracks
+                    width = w
             elif eid == 0xBA and bend > body and height is None:  # PixelHeight
-                height = int.from_bytes(payload[body:bend], "big")
+                h = int.from_bytes(payload[body:bend], "big")
+                if h:
+                    height = h
             pos = bend if not unknown else end
+        if not stack:
+            break
+        pos, end = stack.pop()
     duration = round(dur_raw * tscale / 1e9, 3) if dur_raw is not None else None
     return width, height, duration
 
@@ -978,24 +1013,35 @@ def extract_media_features(
                 raw = pdf["payload"].iat[i]
                 raw = bytes(raw) if raw is not None else b""
                 err = None
-                width = height = pixel_sum = None
+                width = height = pixel_sum = duration_s = None
                 try:
                     if kind == "image":
                         width, height, pix = decode_image(
                             raw, fake=fake_decode, max_pixels=max_pixels
                         )
                         pixel_sum = sum(pix)
-                    elif kind == "video" and raw[4:8] == b"ftyp":
-                        # MP4: header-only dims/duration (same tier as the
-                        # progressive-JPEG dims fallback); frame decode
-                        # stays ffmpeg-gated so pixels are honestly absent
-                        width, height, _dur = mp4_video_metadata(raw)
+                    elif kind == "video":
+                        # header-only dims/duration for the three dominant
+                        # web containers (same tier as the progressive-JPEG
+                        # dims fallback); pixel/frame decode stays ffmpeg-
+                        # gated for MP4/WebM and lives in sample_video_
+                        # frames for AVI, so EVERY video row carries
+                        # pixels_unavailable — unknown containers raise and
+                        # surface decoder_unavailable like images do, so
+                        # `error IS NULL` never reads garbage as cleaner
+                        # than parsed metadata
+                        if raw[4:8] == b"ftyp":
+                            width, height, dur = mp4_video_metadata(raw)
+                        elif raw[:4] == b"\x1a\x45\xdf\xa3":
+                            width, height, dur = webm_video_metadata(raw)
+                        elif raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                            width, height, dur = avi_video_metadata(raw)
+                        else:
+                            raise NotImplementedError(
+                                "unknown video container (MP4/WebM/AVI headers supported)"
+                            )
+                        duration_s = dur
                         err = "pixels_unavailable"
-                    elif kind == "video" and raw[:4] == b"\x1a\x45\xdf\xa3":
-                        width, height, _dur = webm_video_metadata(raw)
-                        err = "pixels_unavailable"
-                    elif kind == "video" and raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
-                        width, height = avi_dimensions(raw)
                 except NotImplementedError:
                     err = "decoder_unavailable"
                     if raw[:3] == JPEG_MAGIC:
@@ -1021,6 +1067,7 @@ def extract_media_features(
                 out["width"].append(width)
                 out["height"].append(height)
                 out["pixel_sum"].append(pixel_sum)
+                out["duration_s"].append(duration_s)
                 out["error"].append(err)
             yield pd.DataFrame(out)
 

@@ -1950,12 +1950,18 @@ def test_video_header_metadata_mp4_and_avi(spark):
         "media_id long, kind string, payload binary",
     )
     rows = {r.media_id: r for r in extract_media_features(media).collect()}
-    assert (rows[1].width, rows[1].height) == (1280, 720)
+    assert (rows[1].width, rows[1].height, rows[1].duration_s) == (1280, 720, 12.5)
     assert rows[1].error == "pixels_unavailable"
+    # AVI: dims + duration (1 frame @ 25 fps); pixels equally absent
+    # from THIS op (frames live in sample_video_frames), so the same
+    # error tier — `error IS NULL` must never prefer garbage over parsed
     assert (rows[2].width, rows[2].height) == (16, 16)
-    assert rows[2].error is None
-    assert rows[3].width is None and rows[3].error is None
+    assert rows[2].duration_s == pytest.approx(0.04)
+    assert rows[2].error == "pixels_unavailable"
+    assert rows[3].width is None
+    assert rows[3].error == "decoder_unavailable"
     assert (rows[4].width, rows[4].height) == (1920, 1080)
+    assert rows[4].duration_s == pytest.approx(33.367)  # float32 column
     assert rows[4].error == "pixels_unavailable"
 
 
@@ -2098,9 +2104,17 @@ def test_media_prep_pipeline(spark):
     w, h, pix = decode_image(bytes(out[1].payload))
     assert (w, h, len(pix)) == (8, 8, 8 * 8 * 3)
     assert bytes(out[2].payload) == img_b  # non-keeper payloads untouched
+    # an image keeper whose re-decode fails keeps its payload and
+    # SURFACES the failure — resize is auditable, never a silent no-op
+    assert out[6].resize_error is not None
+    assert bytes(out[6].payload) == b"garbage"
+    assert all(out[i].resize_error is None for i in (1, 2, 3, 4, 5))
     # without resize_to, payloads all pass through untouched
     plain = {r.media_id: r for r in media_prep(media).collect()}
     assert bytes(plain[1].payload) == img_a and not plain[1].resized
+    # fake signatures can't feed a real resize: fail fast, not silently
+    with pytest.raises(ValueError, match="resize_to requires real"):
+        media_prep(media, fake_decode=True, resize_to=(4, 4))
 
 
 def test_audio_fingerprint_dedup_spark(spark):
