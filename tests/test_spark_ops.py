@@ -3209,6 +3209,54 @@ def test_dedup_job_cli_end_to_end(spark, tmp_path):
     assert set(sigs.columns) == {"url", "band", "band_hash"}
 
 
+def test_media_job_cli_end_to_end(spark, tmp_path):
+    """jobs/media_job.py as a real subprocess: image near-dups collapse,
+    audio gain-copies collapse, the resize flag normalizes exactly the
+    image keepers, and the verdict parquet + JSON metrics read back."""
+    import subprocess
+    import sys as _sys
+
+    from readability_php_spark.operators.multimodal import encode_png
+
+    px = [(i * 7) % 256 for i in range(32 * 32)]
+    img_a = encode_png(32, 32, bytes(v for g in px for v in (g, g, g)), color_type=2)
+    img_b = encode_png(
+        32, 32, bytes(v for g in px for v in (g, g, g, 255)), color_type=6
+    )
+    rows = [
+        (1, "image", bytearray(img_a)),
+        (2, "image", bytearray(img_b)),      # same content, RGBA layout
+        (3, "audio", bytearray(_tone_wav([440, 950]))),
+        (4, "audio", bytearray(_tone_wav([440, 950], gain=0.4))),
+        (5, "video", bytearray(b"whatever")),
+    ]
+    in_dir = str(tmp_path / "media_in")
+    out_dir = str(tmp_path / "media_out")
+    spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    ).write.parquet(in_dir)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            _sys.executable, os.path.join(repo, "jobs", "media_job.py"),
+            "--input", in_dir, "--output", out_dir,
+            "--resize", "8x8", "--master", "local[4]",
+        ],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import json as _json
+
+    line = next(ln for ln in proc.stdout.splitlines() if ln.startswith("{"))
+    metrics = _json.loads(line)["kinds"]
+    assert metrics["image"] == {"rows": 2, "keepers": 1, "resized": 1}
+    assert metrics["audio"] == {"rows": 2, "keepers": 1, "resized": 0}
+    assert metrics["video"] == {"rows": 1, "keepers": 1, "resized": 0}
+    out = {r.media_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert out[2].keeper == 1 and out[4].keeper == 3
+    assert out[1].resized and len(bytes(out[1].payload)) < len(img_a)
+
+
 def test_incremental_fuzzy_dedup_differential(spark):
     """Differential check against a pure-Python reference: exact 3-gram
     Jaccard over ALL pairs + union-find + the corpus-wins cluster rule.
