@@ -185,6 +185,26 @@ def compute_phash(
     )
 
 
+def _blocked(ph: DataFrame, blocks: int) -> DataFrame:
+    """(media_id, phash) → one row per pigeonhole block:
+    (media_id, phash, block, val) — pure column algebra (shift + mask)."""
+    bits = 64 // blocks
+    mask = (1 << bits) - 1
+    return ph.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {blocks - 1}), "
+                f"i -> struct(i as block, shiftright(phash, cast(i * {bits} as int))"
+                f" & {mask}L as val))"
+            )
+        ).alias("b"),
+    ).select(
+        "media_id", "phash", F.col("b.block").alias("block"), F.col("b.val").alias("val")
+    )
+
+
 def phash_near_dup_candidates(
     hashes: DataFrame,
     *,
@@ -210,20 +230,8 @@ def phash_near_dup_candidates(
     :func:`phash_image_dedup` does."""
     if 64 % blocks != 0:
         raise ValueError(f"blocks must divide 64, got {blocks}")
-    bits = 64 // blocks
-    mask = (1 << bits) - 1
     ph = hashes.select("media_id", "phash").filter(F.col("phash").isNotNull())
-    blocked = ph.select(
-        "media_id",
-        "phash",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {blocks - 1}), "
-                f"i -> struct(i as block, shiftright(phash, cast(i * {bits} as int))"
-                f" & {mask}L as val))"
-            )
-        ).alias("b"),
-    ).select("media_id", "phash", F.col("b.block").alias("block"), F.col("b.val").alias("val"))
+    blocked = _blocked(ph, blocks)
     under, over_pairs = split_overcap_buckets(
         blocked, ["block", "val"], "media_id", ["phash"], bucket_cap
     )
@@ -295,3 +303,119 @@ def phash_image_dedup(
         keeper.alias("keeper"),
         (keeper == F.col("media_id")).alias("is_keeper"),
     )
+
+
+def incremental_hash_dedup(
+    wave_hashes: DataFrame,
+    corpus_hashes: "DataFrame | None",
+    *,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    bucket_cap: "int | None" = 100_000,
+) -> "tuple[DataFrame, DataFrame]":
+    """Dedup a NEW wave of 64-bit perceptual hashes against an
+    already-ingested corpus without re-pairing the corpus — the per-wave
+    shape of media dedup a rolling ingestion actually runs, and the
+    media twin of ``dedup.incremental_fuzzy_dedup`` (same corpus-wins
+    contract).  Works on ANY 64-bit Hamming signature: image DCT-pHash
+    (``compute_phash``) and audio fingerprints
+    (``compute_audio_fingerprint``, pass ``hash_col='afp'``) alike.
+
+    Returns ``(verdicts, append_hashes)``:
+
+    - ``verdicts`` — one row per wave row: ``(id_col, hash_col, keeper,
+      is_keeper)``.  Clusters form over intra-wave AND wave↔corpus
+      verified pairs jointly (one connected-components pass), so a wave
+      item linked to the corpus only THROUGH a discarded wave sibling
+      still dies.  Cluster rule: any cluster containing a corpus item
+      keeps NO wave items (existing media always win — they are ingested
+      and immutable; ``keeper`` is the min corpus id); a wave-only
+      cluster keeps its min id.
+    - ``append_hashes`` — the kept wave ``(id_col, hash_col)`` rows for
+      the caller to APPEND to its maintained hash table.
+
+    ``corpus_hashes`` is that maintained table (``id_col``, ``hash_col``;
+    one 8-byte signature per item — unlike LSH bands there is no
+    bootstrap asymmetry, the table is just the hashes of everything
+    kept so far).  Pass ``None`` on the very first wave.  Ids must be
+    unique across wave ∪ corpus.
+
+    Scale shape: the corpus is never paired against itself — its cost
+    per wave is one projection + pigeonhole explode feeding a
+    (block, val)-keyed equi-join against the (small) wave side, so pair
+    work is O(wave² within buckets + wave↔corpus matches), not
+    O(corpus²) and not O(corpus × wave).  Intra-wave pairs go through
+    :func:`phash_near_dup_candidates` (over-cap salting included)."""
+    wave = (
+        wave_hashes.select(
+            F.col(id_col).alias("media_id"), F.col(hash_col).alias("phash")
+        )
+        .filter(F.col("phash").isNotNull())
+        .localCheckpoint()  # feeds candidates, the wc join, and verdicts
+    )
+    ww = phash_near_dup_candidates(
+        wave, max_hamming=max_hamming, blocks=blocks, bucket_cap=bucket_cap
+    ).select("id_a", "id_b")
+    edges = ww
+    wc_corpus_ids = None
+    if corpus_hashes is not None:
+        corp = corpus_hashes.select(
+            F.col(id_col).alias("media_id"), F.col(hash_col).alias("phash")
+        ).filter(F.col("phash").isNotNull())
+        wb = _blocked(wave, blocks)
+        cb = _blocked(corp, blocks)
+        hamming = F.bit_count(F.col("w.phash").bitwiseXOR(F.col("c.phash")))
+        wc = (
+            wb.alias("w")
+            .join(
+                cb.alias("c"),
+                (F.col("w.block") == F.col("c.block"))
+                & (F.col("w.val") == F.col("c.val")),
+            )
+            .filter(hamming <= max_hamming)
+            .select(
+                F.col("w.media_id").alias("id_a"),
+                F.col("c.media_id").alias("id_b"),
+            )
+            .distinct()  # a pair can meet in several blocks
+        )
+        edges = ww.unionByName(wc)
+        wc_corpus_ids = wc.select(F.col("id_b").alias("media_id")).distinct()
+    labels = connected_components(edges, src="id_a", dst="id_b")
+    # corpus-wins: the min corpus id per cluster, where a corpus member
+    # exists (corpus ids only enter labels through wc edges)
+    if wc_corpus_ids is not None:
+        corpus_keepers = (
+            labels.join(
+                wc_corpus_ids.withColumnRenamed("media_id", "doc_id"), "doc_id"
+            )
+            .groupBy("cluster_id")
+            .agg(F.min("doc_id").alias("corpus_keeper"))
+        )
+    else:
+        corpus_keepers = None
+    wave_labeled = wave.join(
+        labels.withColumnRenamed("doc_id", "media_id"), "media_id", "left"
+    )
+    # min WAVE id per cluster (the wave-only-cluster keeper)
+    wave_mins = (
+        wave_labeled.filter(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(F.min("media_id").alias("wave_min"))
+    )
+    out = wave_labeled.join(wave_mins, "cluster_id", "left")
+    if corpus_keepers is not None:
+        out = out.join(corpus_keepers, "cluster_id", "left")
+    else:
+        out = out.withColumn("corpus_keeper", F.lit(None).cast("long"))
+    keeper = F.coalesce("corpus_keeper", "wave_min", "media_id")
+    verdicts = out.select(
+        F.col("media_id").alias(id_col),
+        F.col("phash").alias(hash_col),
+        keeper.alias("keeper"),
+        (keeper == F.col("media_id")).alias("is_keeper"),
+    )
+    append_hashes = verdicts.filter("is_keeper").select(id_col, hash_col)
+    return verdicts, append_hashes

@@ -3257,6 +3257,69 @@ def test_media_job_cli_end_to_end(spark, tmp_path):
     assert out[1].resized and len(bytes(out[1].payload)) < len(img_a)
 
 
+def test_incremental_hash_dedup(spark):
+    """Wave-vs-corpus 64-bit-Hamming dedup: corpus-wins through
+    transitive wave links, wave-only clusters keep min id, and the
+    verdicts match a batch run over corpus ∪ wave with the corpus-wins
+    rule applied — without the incremental path ever pairing the corpus
+    against itself."""
+    from readability_php_spark.operators.dedup import connected_components
+    from readability_php_spark.operators.image_dedup import (
+        incremental_hash_dedup,
+        phash_near_dup_candidates,
+    )
+
+    H = 0x0123456789ABCDEF
+    corpus = spark.createDataFrame(
+        [(1, H), (2, 0x7EDCBA9876543210)], "media_id long, phash long"
+    )
+    wave_rows = [
+        (100, H),             # exact corpus dup
+        (101, H ^ 1),         # near-dup of 100 → corpus cluster via sibling
+        (102, 0x00000000FFFF0000),
+        (103, 0x00000000FFFF0000),  # intra-wave dup of 102
+        (104, 0x5A5A5A5A5A5A5A5A),  # unique
+    ]
+    wave = spark.createDataFrame(wave_rows, "media_id long, phash long")
+    verdicts, append = incremental_hash_dedup(wave, corpus, max_hamming=3)
+    v = {r.media_id: r for r in verdicts.collect()}
+    assert set(v) == {100, 101, 102, 103, 104}
+    assert v[100].keeper == 1 and not v[100].is_keeper
+    assert v[101].keeper == 1 and not v[101].is_keeper  # transitive kill
+    assert v[102].is_keeper and v[103].keeper == 102 and not v[103].is_keeper
+    assert v[104].is_keeper
+    kept = {r.media_id for r in append.collect()}
+    assert kept == {102, 104}
+
+    # differential vs batch over corpus ∪ wave with the corpus-wins rule
+    allh = corpus.unionByName(wave)
+    comps = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            phash_near_dup_candidates(allh, max_hamming=3),
+            src="id_a", dst="id_b",
+        ).collect()
+    }
+    corpus_ids = {1, 2}
+    by_cluster: dict = {}
+    for mid, _ in wave_rows:
+        by_cluster.setdefault(comps.get(mid, mid), []).append(mid)
+    for cl, members in by_cluster.items():
+        cluster_all = [d for d, c in comps.items() if c == cl] or members
+        corp_in = sorted(d for d in cluster_all if d in corpus_ids)
+        want_keeper = corp_in[0] if corp_in else min(members)
+        for m in members:
+            assert v[m].keeper == want_keeper, (m, v[m].keeper, want_keeper)
+
+    # bootstrap wave (no corpus yet): plain within-wave keep-min-id
+    v0 = {
+        r.media_id: r
+        for r in incremental_hash_dedup(wave, None, max_hamming=3)[0].collect()
+    }
+    assert v0[100].is_keeper and v0[101].keeper == 100
+    assert v0[102].is_keeper and v0[103].keeper == 102 and v0[104].is_keeper
+
+
 def test_incremental_fuzzy_dedup_differential(spark):
     """Differential check against a pure-Python reference: exact 3-gram
     Jaccard over ALL pairs + union-find + the corpus-wins cluster rule.
