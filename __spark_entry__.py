@@ -284,7 +284,7 @@ _SUBSTR_BOILER = (
 
 
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     return analyze(docs).orderBy("doc_id")
 
 
@@ -540,7 +540,7 @@ def q_cosine_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate (tagged by ``algo``) — merged from the former cosine_topk /
     ann_topk gates to free a registry slot under the driver's 50-query cap
     while keeping both value checks (the oracle UNION ALLs both twins)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     exact = cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).withColumn(
         "algo", F.lit("exact")
     )
@@ -555,7 +555,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate vs brute force by design, but the *algorithm* is exactly
     reproducible (deterministic init + rounded means), so the oracle is a
     full value check via unrolled-Lloyd SQL (see ``_ivf_sql``)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     return ivf_topk(emb, query_ids=[0, 1, 2], k=10, n_centroids=8, n_probe=2).orderBy(
         "query_id", "rank"
     )
@@ -603,7 +603,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data pipeline: quality/lang/token filters + exact
     dedup — the one-liner a corpus curator runs before tokenization."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     kept = exact_dedup(docs)  # min-doc_id representative per fingerprint
     stats = analyze(kept)
     return (
@@ -1044,7 +1044,7 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs give nonzero fractions)."""
     from readability_php_spark.operators.dedup import duplicated_spans
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
     return duplicated_spans(docs, n=20).orderBy("doc_id")
 
 
@@ -1236,7 +1236,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions, identical on both engines) must flag as contaminated."""
     from readability_php_spark.operators.dedup import contamination_flags
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
     benchmark = docs.filter(F.col("doc_id") < 20).select("text")
     return contamination_flags(docs, benchmark, n=8).orderBy("doc_id")
 
@@ -1246,7 +1246,7 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated line on both engines so dup_line_frac is exercised."""
     from readability_php_spark.operators.text_analysis import repetition_signals
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id",
         F.concat_ws(
             "\n",
@@ -1290,7 +1290,7 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     those)."""
     from readability_php_spark.operators.scrub import scrub_pii
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id",
         F.concat(
             F.col("text"),

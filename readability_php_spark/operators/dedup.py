@@ -690,14 +690,28 @@ def duplicated_spans(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
     ).select("id", gram_key(F.col("gram")).alias("gk"))
-    gram_docs = doc_grams.groupBy("gk").agg(F.count("*").alias("n_docs"))
+    # Only grams that clear min_docs matter to the join: filtering the
+    # frequency table BEFORE the join shrinks the build side from every
+    # distinct gram in the corpus (~1 row per corpus gram — a multi-hundred-
+    # MB broadcast at sf1.0, built single-threaded on the driver) to just
+    # the duplicated ones.  A left join + null-check on the marker gives
+    # the same per-doc (n_grams, n_dup_grams) as joining the full table:
+    # every doc gram matched the full table anyway (its own count row), so
+    # count(*) per id is unchanged, and the dup predicate is now the match
+    # itself.
+    dup_keys = (
+        doc_grams.groupBy("gk")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gk", F.lit(True).alias("_dup"))
+    )
     per_doc = (
-        doc_grams.join(gram_docs, "gk")
+        doc_grams.join(dup_keys, "gk", "left")
         .groupBy("id")
         .agg(
             F.count("*").alias("n_grams"),
             F.sum(
-                F.when(F.col("n_docs") >= min_docs, 1).otherwise(0)
+                F.when(F.col("_dup"), 1).otherwise(0)
             ).alias("n_dup_grams"),
         )
     )
