@@ -114,6 +114,20 @@ def _fixture_tag(sf_dir: str) -> str:
     return f"{base}_{digest}"
 
 
+
+def _range_parallel(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Range-partition by the query's final sort key BEFORE the expensive
+    per-row projection (optimization round: guide §2.4 — share one
+    exchange).  The trailing ``orderBy(key)`` then needs no extra exchange
+    (the range distribution already satisfies it), and — decisively — its
+    range-boundary sampling pass no longer re-executes the heavy
+    projection: it samples the cheap scan side of the exchange instead.
+    Replaces the round-robin scan repair for queries that end in
+    ``orderBy(key)``; explicit numPartitions pins the parallelism so AQE
+    cannot coalesce the post-exchange stage below the core count."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(par, key)
+
 def q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction pipeline must recover each document's text exactly
     (whitespace-insensitive: paragraph structure replaces newline runs)
@@ -284,7 +298,7 @@ _SUBSTR_BOILER = (
 
 
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    docs = _range_parallel(load_table(spark, sf_dir, "documents"))
     return analyze(docs).orderBy("doc_id")
 
 
@@ -1246,7 +1260,7 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated line on both engines so dup_line_frac is exercised."""
     from readability_php_spark.operators.text_analysis import repetition_signals
 
-    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+    docs = _range_parallel(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.concat_ws(
             "\n",
@@ -1290,7 +1304,7 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     those)."""
     from readability_php_spark.operators.scrub import scrub_pii
 
-    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
+    docs = _range_parallel(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.concat(
             F.col("text"),

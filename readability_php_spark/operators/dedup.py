@@ -22,10 +22,12 @@ md5 is used wherever the DuckDB oracle must reproduce values; xxhash64
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from .text_analysis import fingerprint
 
@@ -148,11 +150,53 @@ def ngram_jaccard_pairs(
 
 # --- MinHash + LSH ------------------------------------------------------------
 
+#: Edge-count ceiling for the driver-local union-find strategy of
+#: :func:`connected_components`.  LSH/pHash/audio candidate-pair sets are
+#: tiny next to their corpora (that is the point of candidate generation),
+#: so the post-filter edge relation usually fits in driver memory with
+#: room to spare; past the ceiling the distributed label-propagation loop
+#: runs unchanged.  Env-overridable for cluster deployments.
+DEFAULT_CC_LOCAL_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "500000")
+)
+
+
+def _cc_local_labels(edge_rows) -> dict:
+    """Union-find min-label over collected (a, b) edge rows: every node
+    maps to the minimum id reachable through the pair graph — exactly the
+    fixpoint of the distributed min-label propagation.  Union attaches the
+    larger root under the smaller, so a root is always its component's
+    minimum; path compression keeps finds near O(1)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        # path compression
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for a, b in edge_rows:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    return {n: find(n) for n in nodes}
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iterations: int = 50,
+    local_max_edges: "int | None" = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) from candidate near-dup pairs: cluster_id is the
     minimum doc_id reachable through the pair graph — the keeper under
@@ -161,15 +205,31 @@ def connected_components(
     (A ~ B ~ C must collapse to ONE representative even when (A, C) never
     collided).
 
-    Iterative min-label propagation with pointer jumping: each round every
-    node takes the min of (its label, its neighbors' labels, its label's
-    OWN label).  The last term is path compression — labels chase their
-    representative transitively, so convergence is O(log diameter) rounds
-    instead of O(diameter); both terms only ever move a label to a smaller
-    id inside the same component, so the fixpoint is the component minimum.
-    The loop is bounded by ``max_iterations`` as a safety net and raises
-    rather than returning a half-converged clustering.  Each round is two
-    doc_id-keyed shuffles (neighbor min + label lookup)."""
+    Strategy dispatch (optimization round; the BPE ``local``-merge shape):
+    the edge relation is first counted — when it fits under
+    ``local_max_edges`` (default :data:`DEFAULT_CC_LOCAL_MAX_EDGES`), the
+    edges are collected once and clustered with a driver-side union-find,
+    which replaces the O(log diameter) loop's ~2 Spark jobs per round
+    (shuffle joins + checkpoint + convergence aggregate) with exactly two
+    bounded jobs (count + collect).  Candidate-pair relations are small by
+    construction — that is what LSH/banding is for — so production waves
+    take this path too; a corpus whose verified-pair graph genuinely
+    exceeds the ceiling falls through to the distributed loop unchanged.
+    Both strategies produce the identical (node → component-minimum)
+    labeling; a differential test pins them together.
+
+    Distributed path: iterative min-label propagation with pointer
+    jumping: each round every node takes the min of (its label, its
+    neighbors' labels, its label's OWN label).  The last term is path
+    compression — labels chase their representative transitively, so
+    convergence is O(log diameter) rounds instead of O(diameter); both
+    terms only ever move a label to a smaller id inside the same
+    component, so the fixpoint is the component minimum.  The loop is
+    bounded by ``max_iterations`` as a safety net and raises rather than
+    returning a half-converged clustering.  Each round is two doc_id-keyed
+    shuffles (neighbor min + label lookup)."""
+    if local_max_edges is None:
+        local_max_edges = DEFAULT_CC_LOCAL_MAX_EDGES
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -179,6 +239,25 @@ def connected_components(
         # lineage above re-executes O(log diameter) times
         .persist()
     )
+    if local_max_edges:
+        # bounded probe: limit(N+1).count() can never return more than N+1
+        # no matter how large the edge set is
+        n_probe = edges.limit(local_max_edges + 1).count()
+        if n_probe <= local_max_edges:
+            id_type = edges.schema["a"].dataType
+            labels_map = _cc_local_labels(
+                [(r.a, r.b) for r in edges.collect()]
+            )
+            spark = pairs.sparkSession
+            out_schema = StructType([
+                StructField("doc_id", id_type, True),
+                StructField("cluster_id", id_type, True),
+            ])
+            out = spark.createDataFrame(
+                sorted(labels_map.items()), out_schema
+            )
+            edges.unpersist()
+            return out
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()

@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -243,6 +245,71 @@ def assign_cells(
     return df.join(topp, id_col)
 
 
+#: Row ceiling for the driver-local Lloyd strategy of
+#: :func:`kmeans_centroids`: train locally when the corpus fits in one
+#: bounded collect (rows ≤ ceiling).  Quantizer TRAINING corpora are small
+#: by design even at 10^12-vector scale (you train the coarse quantizer on
+#: a sample, not the corpus — the FAISS/ScaNN shape), so the local path is
+#: also the production path; past the ceiling the distributed loop runs
+#: unchanged.  Env-overridable for cluster deployments.
+DEFAULT_KMEANS_LOCAL_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_KMEANS_LOCAL_MAX_ROWS", "200000")
+)
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark's ``round(x, 6)`` exactly: HALF_UP over the double's exact
+    decimal expansion (java.math.BigDecimal semantics — NOT Python's
+    banker's rounding)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _lloyd_local(rows, k: int, iters: int):
+    """Driver-side Lloyd over collected (id, vec) rows — the same
+    deterministic trajectory as the distributed loop: init = k lowest-id
+    vectors, assignment by min-L2 with the ties-to-lower-cid rule,
+    per-iteration means rounded to 6 decimals (HALF_UP, like Spark).
+
+    The per-element d2 accumulation runs dim-by-dim in order, bit-identical
+    to the ``zip_with``-fold of the literal-centroid expression, so
+    assignments can never diverge from the Spark path; the mean's summation
+    order (numpy pairwise vs Spark partial aggregates) differs only below
+    the round-6 tolerance that the operator's contract already absorbs
+    (see the means-rounding note in :func:`kmeans_centroids`)."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[0])
+    emb = np.asarray([r[1] for r in rows], dtype=np.float64)
+    n, dim = emb.shape
+    k = min(k, n)  # fewer rows than k: the distributed init's
+    # orderBy+limit(k) also yields only n centroids
+    cents = emb[:k].copy()
+    for _ in range(iters):
+        d2 = np.empty((n, k), dtype=np.float64)
+        for c in range(k):
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(dim):
+                diff = emb[:, j] - cents[c, j]
+                acc += diff * diff
+            d2[:, c] = acc
+        assign = np.argmin(d2, axis=1)  # ties → lowest cid, like the
+        # (d2, cid) struct-min of the Spark path
+        for c in range(k):
+            mask = assign == c
+            if not mask.any():
+                continue  # empty cell keeps its centroid (distributed twin
+                # keeps the previous value when no row lands in the cell)
+            m = emb[mask].sum(axis=0) / mask.sum()
+            cents[c] = [_round6_half_up(v) for v in m]
+    return [(c, [float(x) for x in cents[c]]) for c in range(k)]
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 16,
@@ -250,6 +317,8 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantizer_method: str = "auto",
+    strategy: str = "auto",
+    local_max_rows: "int | None" = None,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means (IVF coarse quantizer).
 
@@ -260,12 +329,40 @@ def kmeans_centroids(
     tiny (broadcast), assignment is a map-side pass, the only shuffle is the
     k-way average.
 
+    Strategy dispatch (optimization round; the BPE ``local``-merge shape):
+    ``auto`` counts the corpus and, when it fits under ``local_max_rows``
+    (default :data:`DEFAULT_KMEANS_LOCAL_MAX_ROWS`), collects the vectors
+    ONCE and runs the whole Lloyd loop driver-side (``_lloyd_local``) —
+    2 bounded jobs total instead of 2 Spark jobs per iteration.  This is
+    also the industrial shape: coarse quantizers train on a bounded sample
+    even when the corpus is 10^12 vectors.  ``strategy="distributed"``
+    forces the per-iteration Spark loop (differential-tested identical).
+
     Means are rounded to 6 decimals per iteration: float64 sums over an
     unordered partition set are only reproducible to ~1e-13, and the coarse
     quantizer doesn't care about the 7th decimal — rounding makes the
     trained centroids (and hence every downstream cell assignment)
     cross-engine and cross-run deterministic, which is what lets the DuckDB
     oracle replay the exact same Lloyd trajectory."""
+    if local_max_rows is None:
+        local_max_rows = DEFAULT_KMEANS_LOCAL_MAX_ROWS
+    if strategy == "auto":
+        n_probe = (
+            embeddings.select(id_col).limit(local_max_rows + 1).count()
+            if local_max_rows
+            else local_max_rows + 1
+        )
+        strategy = "local" if n_probe <= local_max_rows else "distributed"
+    if strategy == "local":
+        rows = [
+            (r[0], list(r[1]))
+            for r in embeddings.select(id_col, vec_col).collect()
+        ]
+        return embeddings.sparkSession.createDataFrame(
+            _lloyd_local(rows, k, iters), "cid int, cvec array<double>"
+        )
+    if strategy != "distributed":
+        raise ValueError(f"unknown kmeans strategy: {strategy!r}")
     # Lloyd re-reads the corpus once per iteration (assign + mean) plus the
     # init scan — persist for the loop's lifetime (standard k-means-training
     # shape; at 10^12 rows you'd train on a persisted sample instead).
