@@ -205,6 +205,60 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
 
 
+def test_connected_components_local_matches_distributed(spark):
+    """Strategy differential: the driver-local union-find dispatch (edge
+    count under the ceiling) and the distributed min-label loop
+    (local_max_edges=0 forces it) must emit identical labelings and
+    schemas — on long ids and on string ids (fuzzy_dedup clusters by
+    url)."""
+    from readability_php_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (21, 20), (5, 4), (4, 3)],
+        "doc_a long, doc_b long",
+    )
+    loc = connected_components(pairs)
+    dist = connected_components(pairs, local_max_edges=0)
+    assert sorted(map(tuple, loc.collect())) == sorted(
+        map(tuple, dist.collect())
+    )
+    assert loc.schema == dist.schema
+
+    spairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    sloc = sorted(map(tuple, connected_components(spairs).collect()))
+    sdist = sorted(
+        map(tuple, connected_components(spairs, local_max_edges=0).collect())
+    )
+    assert sloc == sdist == [
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")
+    ]
+
+
+def test_kmeans_local_matches_distributed(spark):
+    """Strategy differential: the driver-local Lloyd (one bounded collect)
+    must reproduce the distributed per-iteration loop bit-for-bit — same
+    init, same ties-to-lower-cid assignment, same HALF_UP round-6 means —
+    including an empty-cell iteration (k > distinct points keeps the
+    previous centroid) and k > n."""
+    from readability_php_spark.operators.similarity import kmeans_centroids
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) / 7.0 + (0.001 * i) for d in range(6)])
+        for i in range(40)
+    ]
+    # planted exact duplicates → some cells go empty at k=16
+    rows += [(100 + i, rows[i][1]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for k, iters in ((4, 3), (16, 5), (64, 2)):
+        loc = kmeans_centroids(df, k, iters=iters, strategy="local")
+        dist = kmeans_centroids(df, k, iters=iters, strategy="distributed")
+        lc = sorted((r.cid, tuple(r.cvec)) for r in loc.collect())
+        dc = sorted((r.cid, tuple(r.cvec)) for r in dist.collect())
+        assert lc == dc, f"k={k} iters={iters}"
+
+
 def test_training_prep_end_to_end(spark, tmp_path):
     """The composed prep pipeline on the sf0.001 corpus (+ planted exact
     duplicates AND a planted near-duplicate): conservation, exact + fuzzy
