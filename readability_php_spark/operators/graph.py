@@ -28,8 +28,63 @@ across iterations.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Edge-count ceiling for the driver-local PageRank strategy.  Host-level
+#: graphs are orders of magnitude smaller than their corpora (one node per
+#: HOST), so gate/bench graphs and many production host graphs fit; a real
+#: 10^8-edge web-host graph falls through to the distributed loop.
+DEFAULT_PAGERANK_LOCAL_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_PAGERANK_LOCAL_MAX_EDGES", "500000")
+)
+
+
+def _round_half_up(x: float, decimals: int) -> float:
+    """Spark's ``round(x, d)`` exactly: HALF_UP over the double's exact
+    decimal expansion (java.math.BigDecimal semantics, not Python
+    banker's rounding) — the same replica as similarity._round6_half_up."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-decimals)
+    return float(
+        decimal.Decimal(x).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def _pagerank_local(
+    edge_rows, iterations: int, damping: float, round_decimals: int
+):
+    """Driver-side replay of the distributed loop on collected (src, dst)
+    rows: same init, same dangling-mass redistribution, same per-iteration
+    HALF_UP rounding.  Summation order differs from Spark's partial
+    aggregates only below the per-iteration rounding tolerance — the same
+    cross-engine envelope the DuckDB oracle already rides."""
+    nodes = sorted({s for s, _ in edge_rows} | {d for _, d in edge_rows})
+    n = len(nodes)
+    if n == 0:
+        return []
+    out_deg: dict = {}
+    for s, _ in edge_rows:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    base = (1.0 - damping) / n
+    init = _round_half_up(1.0 / n, round_decimals)
+    ranks = {v: init for v in nodes}
+    for _ in range(iterations):
+        dangling = sum(r for v, r in ranks.items() if v not in out_deg)
+        contrib: dict = {}
+        for s, d in edge_rows:
+            contrib[d] = contrib.get(d, 0.0) + ranks[s] / out_deg[s]
+        ranks = {
+            v: _round_half_up(
+                base + damping * (contrib.get(v, 0.0) + dangling / n),
+                round_decimals,
+            )
+            for v in nodes
+        }
+    return sorted(ranks.items())
 
 
 def pagerank(
@@ -39,6 +94,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     round_decimals: int = 6,
+    local_max_edges: "int | None" = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list; returns
     ``(node, rank)`` with ranks rounded to ``round_decimals``.
@@ -62,10 +118,27 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    if local_max_edges is None:
+        local_max_edges = DEFAULT_PAGERANK_LOCAL_MAX_EDGES
     e = edges.select(
         F.col(src_col).cast("string").alias("src"),
         F.col(dst_col).cast("string").alias("dst"),
     )
+    if local_max_edges:
+        # Strategy dispatch (optimization round; the CC/k-means shape):
+        # a host graph under the ceiling is collected once and iterated
+        # driver-side — 2 bounded jobs instead of 2 jobs (dangling scalar
+        # + checkpoint) per iteration.  persist() so the probe and the
+        # collect don't run the (regex-extraction) edge lineage twice.
+        e = e.persist()
+        n_probe = e.limit(local_max_edges + 1).count()
+        if n_probe <= local_max_edges:
+            rows = [(r.src, r.dst) for r in e.collect()]
+            e.unpersist()
+            return edges.sparkSession.createDataFrame(
+                _pagerank_local(rows, iterations, damping, round_decimals),
+                "node string, rank double",
+            )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -111,3 +184,5 @@ def pagerank(
     finally:
         nodes.unpersist()
         out_deg.unpersist()
+        if local_max_edges:  # over-ceiling fallthrough left e persisted
+            e.unpersist()

@@ -259,6 +259,23 @@ def test_kmeans_local_matches_distributed(spark):
         assert lc == dc, f"k={k} iters={iters}"
 
 
+def test_pagerank_local_matches_distributed(spark):
+    """Strategy differential: driver-local PageRank (bounded collect) vs
+    the per-iteration Spark loop — identical ranks including duplicate-
+    edge multiplicity and dangling-mass redistribution."""
+    from readability_php_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"),
+         ("e", "e2"), ("a", "b")],
+        "src string, dst string",
+    )
+    loc = sorted(map(tuple, pagerank(edges).collect()))
+    dist = sorted(map(tuple, pagerank(edges, local_max_edges=0).collect()))
+    assert loc == dist
+    assert abs(sum(r for _, r in loc) - 1.0) < 1e-4  # mass conservation
+
+
 def test_training_prep_end_to_end(spark, tmp_path):
     """The composed prep pipeline on the sf0.001 corpus (+ planted exact
     duplicates AND a planted near-duplicate): conservation, exact + fuzzy
