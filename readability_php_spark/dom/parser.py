@@ -121,6 +121,13 @@ SAME_LEVEL_CLOSERS = {
 # corrupts the ancestor chain).
 SHALLOW_CLOSERS = frozenset(["a", "button", "option", "optgroup"])
 
+# Start tags for which _imply_end_tags can do anything at all: the
+# same-level closers, plus (only while a <p> is open — checked at the call
+# site) the p-closing blocks.  Everything else (span, em, img, br, …the
+# inline majority) skips the call entirely — pure short-circuit, the
+# function body's first two lookups would no-op for exactly these tags.
+IMPLY_RELEVANT = frozenset(SAME_LEVEL_CLOSERS)
+
 # libxml2's areBlanks() PCDATA whitelist (htmlparser.c, public libxml2
 # source): a whitespace-only text node that is immediately followed by a tag
 # is DROPPED unless the node before it is text or one of these elements.
@@ -480,7 +487,8 @@ class TreeBuilder(HTMLParser):
             if self.body is None:
                 self._merge_attrs(self._ensure_body(), attrs)
             return
-        self._imply_end_tags(tag)
+        if tag in IMPLY_RELEVANT or (self._open_p and tag in P_CLOSERS):
+            self._imply_end_tags(tag)
         el = Element(tag)
         if attrs_dict is not None:
             if attrs_dict:
@@ -502,7 +510,8 @@ class TreeBuilder(HTMLParser):
         if tag in ("html", "head", "body"):
             self.handle_starttag(tag, attrs)
             return
-        self._imply_end_tags(tag)
+        if tag in IMPLY_RELEVANT or (self._open_p and tag in P_CLOSERS):
+            self._imply_end_tags(tag)
         el = Element(tag)
         if attrs_dict is not None:
             if attrs_dict:

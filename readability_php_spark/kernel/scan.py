@@ -141,11 +141,16 @@ def get_nodes(ctx, node: Optional[Node]) -> list[Element]:
             continue
 
         is_elem = node.node_type == ELEMENT_NODE
-        match_string = (
-            (node.get_attribute("class") + " " + node.get_attribute("id"))
-            if is_elem
-            else " "
-        )
+        if is_elem:
+            # inline get_attribute (hot loop: runs once per surviving node
+            # per retry attempt; two method calls + concat dominate F1-F4
+            # dispatch on attribute-less trees)
+            a = node.attrs
+            match_string = (
+                (a.get("class", "") + " " + a.get("id", "")) if a else " "
+            )
+        else:
+            match_string = " "
 
         # F2: hidden nodes
         if is_elem and not is_probably_visible(node):
