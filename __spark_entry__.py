@@ -619,10 +619,16 @@ def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup — the one-liner a corpus curator runs before tokenization."""
     docs = load_table(spark, sf_dir, "documents", parallel=True)
     kept = exact_dedup(docs)  # min-doc_id representative per fingerprint
-    stats = analyze(kept)
+    # lang rides through analyze as a passthrough column instead of a
+    # join-back to kept: the join shape duplicated the whole
+    # exact_dedup + regex-projection subtree (one copy per join branch),
+    # and the pushed-down quality/n_tokens filter re-evaluated the regex
+    # expressions a third time below the join.  persist() makes the
+    # filter read the materialized stats columns — one regex pass total;
+    # identical rows either way (the join was 1:1 on doc_id).
+    stats = analyze(kept, passthrough=("lang",)).persist()
     return (
-        stats.join(kept.select("doc_id", "lang"), "doc_id")
-        .filter(
+        stats.filter(
             (F.col("quality") >= 0.5)
             & (F.col("n_tokens") >= 30)
             & (F.col("lang_pred") == F.col("lang"))

@@ -105,8 +105,20 @@ def rolling_fingerprints(text: Column, window: int = 64, stride: int = 32) -> Co
     )
 
 
-def analyze(documents: DataFrame, text_col: str = "text") -> DataFrame:
+def analyze(
+    documents: DataFrame,
+    text_col: str = "text",
+    passthrough: "tuple[str, ...]" = (),
+) -> DataFrame:
     """documents(doc_id, text, ...) → per-doc analysis frame.
+
+    ``passthrough`` names input columns carried through unchanged
+    (appended after the computed columns) — callers that need e.g. the
+    declared ``lang`` next to ``lang_pred`` get it in the SAME projection
+    instead of joining back to the input, which would duplicate this
+    operator's whole upstream subtree in the plan (optimization round:
+    the join-back shape ran exact_dedup + this projection twice in
+    q_training_filter).
 
     Two-stage projection on purpose: the expensive regex primitives (one
     regexp_count per language, token split, punct strip) are materialized
@@ -130,6 +142,7 @@ def analyze(documents: DataFrame, text_col: str = "text") -> DataFrame:
             for lang in LANG_STOPWORDS
         ],
         fingerprint(t).alias("fp"),
+        *passthrough,
     )
 
     n = F.col("_n")
@@ -162,6 +175,7 @@ def analyze(documents: DataFrame, text_col: str = "text") -> DataFrame:
         quality.alias("quality"),
         lang_pred.alias("lang_pred"),
         "fp",
+        *passthrough,
     )
 
 

@@ -259,6 +259,24 @@ def test_kmeans_local_matches_distributed(spark):
         assert lc == dc, f"k={k} iters={iters}"
 
 
+def test_analyze_passthrough_columns(spark):
+    """analyze(passthrough=...) carries input columns unchanged and leaves
+    every computed column identical to the no-passthrough call."""
+    from readability_php_spark.operators.text_analysis import analyze
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox", "en"), (2, "", "de"), (3, None, "fr")],
+        "doc_id long, text string, lang string",
+    )
+    plain = {r.doc_id: r.asDict() for r in analyze(df).collect()}
+    passed = {r.doc_id: r.asDict() for r in
+              analyze(df, passthrough=("lang",)).collect()}
+    assert set(passed[1]) == set(plain[1]) | {"lang"}
+    for i, lang in ((1, "en"), (2, "de"), (3, "fr")):
+        assert passed[i].pop("lang") == lang
+        assert passed[i] == plain[i]
+
+
 def test_pagerank_local_matches_distributed(spark):
     """Strategy differential: driver-local PageRank (bounded collect) vs
     the per-iteration Spark loop — identical ranks including duplicate-
