@@ -502,10 +502,13 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # stage checkpoints mirror jobs/dedup_job.py: without them the
     # union+dropDuplicates wave lineage (and the bloom probe chain)
-    # replays inside every downstream consumer — the fuzzy stage's
-    # clustering loop alone re-reads its input once per CC iteration
+    # replays inside every downstream consumer.  `intra` lost its
+    # checkpoint in the optimization round — it feeds only the bloom
+    # chain, and folding it in measured ~1.5 s faster; the other two
+    # are load-bearing (replacing them with lazy persists measured
+    # 7.5-9.9 s → 16-25 s, so they stay).
     wave = wave.dropDuplicates(["doc_id", "text"]).localCheckpoint()
-    intra = exact_dedup(wave, id_col="doc_id").localCheckpoint()
+    intra = exact_dedup(wave, id_col="doc_id")
     after_exact = (
         bloom_incremental_exact_dedup(
             intra, corpus, m_bits=1 << 16, k=5, id_col="doc_id"
