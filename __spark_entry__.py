@@ -664,7 +664,12 @@ def q_training_prep_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(near).unionByName(exact)
     kept = fuzzy_dedup(
-        exact_dedup(corpus), num_hashes=8, bands=2, threshold=0.8
+        # the gate's corpus is ~350 rows built from a 3-branch union; the
+        # eager checkpoint materializes scan+union+exact-dedup ONCE so the
+        # fuzzy chain's 4 consumers (LSH input, both Jaccard sides, final
+        # anti-join) stop replaying that subtree per job
+        exact_dedup(corpus).localCheckpoint(), num_hashes=8, bands=2,
+        threshold=0.8
     )
     return kept.select("doc_id").orderBy("doc_id")
 
