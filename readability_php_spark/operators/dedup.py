@@ -240,14 +240,14 @@ def connected_components(
         .persist()
     )
     if local_max_edges:
-        # bounded probe: limit(N+1).count() can never return more than N+1
-        # no matter how large the edge set is
-        n_probe = edges.limit(local_max_edges + 1).count()
-        if n_probe <= local_max_edges:
+        # probe and fetch in ONE bounded job: limit(N+1).collect() never
+        # holds more than N+1 rows no matter how large the edge set is,
+        # and when the graph fits those rows ARE the full edge relation —
+        # no separate count pass
+        probe = edges.limit(local_max_edges + 1).collect()
+        if len(probe) <= local_max_edges:
             id_type = edges.schema["a"].dataType
-            labels_map = _cc_local_labels(
-                [(r.a, r.b) for r in edges.collect()]
-            )
+            labels_map = _cc_local_labels([(r.a, r.b) for r in probe])
             spark = pairs.sparkSession
             out_schema = StructType([
                 StructField("doc_id", id_type, True),

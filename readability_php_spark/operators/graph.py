@@ -127,13 +127,14 @@ def pagerank(
     if local_max_edges:
         # Strategy dispatch (optimization round; the CC/k-means shape):
         # a host graph under the ceiling is collected once and iterated
-        # driver-side — 2 bounded jobs instead of 2 jobs (dangling scalar
-        # + checkpoint) per iteration.  persist() so the probe and the
-        # collect don't run the (regex-extraction) edge lineage twice.
+        # driver-side — ONE bounded job (the limited collect doubles as
+        # the size probe) instead of 2 jobs (dangling scalar + checkpoint)
+        # per iteration.  persist() so an over-ceiling fallthrough doesn't
+        # run the (regex-extraction) edge lineage once per loop round.
         e = e.persist()
-        n_probe = e.limit(local_max_edges + 1).count()
-        if n_probe <= local_max_edges:
-            rows = [(r.src, r.dst) for r in e.collect()]
+        probe = e.limit(local_max_edges + 1).collect()
+        if len(probe) <= local_max_edges:
+            rows = [(r.src, r.dst) for r in probe]
             e.unpersist()
             return edges.sparkSession.createDataFrame(
                 _pagerank_local(rows, iterations, damping, round_decimals),

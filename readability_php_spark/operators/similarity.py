@@ -346,13 +346,23 @@ def kmeans_centroids(
     oracle replay the exact same Lloyd trajectory."""
     if local_max_rows is None:
         local_max_rows = DEFAULT_KMEANS_LOCAL_MAX_ROWS
-    if strategy == "auto":
-        n_probe = (
-            embeddings.select(id_col).limit(local_max_rows + 1).count()
-            if local_max_rows
-            else local_max_rows + 1
+    if strategy == "auto" and local_max_rows:
+        # probe and fetch in ONE bounded job: the limited collect never
+        # holds more than local_max_rows+1 rows, and when the corpus fits
+        # those rows ARE the training set — no separate count pass
+        probe = (
+            embeddings.select(id_col, vec_col)
+            .limit(local_max_rows + 1)
+            .collect()
         )
-        strategy = "local" if n_probe <= local_max_rows else "distributed"
+        if len(probe) <= local_max_rows:
+            rows = [(r[0], list(r[1])) for r in probe]
+            return embeddings.sparkSession.createDataFrame(
+                _lloyd_local(rows, k, iters), "cid int, cvec array<double>"
+            )
+        strategy = "distributed"
+    elif strategy == "auto":
+        strategy = "distributed"
     if strategy == "local":
         rows = [
             (r[0], list(r[1]))
