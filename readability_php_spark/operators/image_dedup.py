@@ -205,6 +205,64 @@ def _blocked(ph: DataFrame, blocks: int) -> DataFrame:
     )
 
 
+def _salted_wave_corpus_pairs(
+    wb: DataFrame, cb: DataFrame, bucket_cap: "int | None"
+) -> DataFrame:
+    """(block, val)-keyed equi-join of wave-blocked × corpus-blocked rows
+    → candidate pairs (id_a=wave, id_b=corpus, ph_a, ph_b), with the
+    cross-relation twin of :func:`split_overcap_buckets`'s mega-bucket
+    guard: a degenerate hash bucket (flat images / steady audio) present
+    in BOTH the maintained corpus table and the wave would put
+    O(corpus_bucket × wave_bucket) pair work on one shuffle key.  When
+    the largest CORPUS bucket exceeds ``bucket_cap``, exactly those
+    over-cap keys take a replicated×salted join — the (small) wave side
+    replicates ``s = ceil(biggest / cap)`` ways, the corpus side salts by
+    id-hash — so each (block, val, salt) key carries ~1/s of the hot
+    bucket's pairs.  Every (wave, corpus) pair still meets exactly once
+    (the wave replica index equals the corpus row's salt exactly once),
+    so the emitted pair set is IDENTICAL to the unsalted join; sizing
+    costs one bounded aggregate (one row per corpus bucket feeding a
+    scalar max) in the common no-skew case."""
+    base_cond = (F.col("w.block") == F.col("c.block")) & (
+        F.col("w.val") == F.col("c.val")
+    )
+    pair_cols = [
+        F.col("w.media_id").alias("id_a"),
+        F.col("c.media_id").alias("id_b"),
+        F.col("w.phash").alias("ph_a"),
+        F.col("c.phash").alias("ph_b"),
+    ]
+    if bucket_cap is not None:
+        counts = cb.groupBy("block", "val").count()
+        biggest = counts.agg(F.max("count")).first()[0] or 0
+        if int(biggest) > bucket_cap:
+            s = -(-int(biggest) // bucket_cap)  # ceil div
+            over_keys = F.broadcast(
+                counts.filter(F.col("count") > bucket_cap).drop("count")
+            )
+            cb_under = cb.join(over_keys, ["block", "val"], "left_anti")
+            cb_over = cb.join(over_keys, ["block", "val"], "left_semi").withColumn(
+                "salt",
+                F.pmod(F.xxhash64(F.col("media_id")), F.lit(s)).cast("int"),
+            )
+            wb_over = wb.join(over_keys, ["block", "val"], "left_semi").withColumn(
+                "rep", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+            )
+            under = wb.alias("w").join(cb_under.alias("c"), base_cond).select(
+                *pair_cols
+            )
+            over = (
+                wb_over.alias("w")
+                .join(
+                    cb_over.alias("c"),
+                    base_cond & (F.col("w.rep") == F.col("c.salt")),
+                )
+                .select(*pair_cols)
+            )
+            return under.unionByName(over)
+    return wb.alias("w").join(cb.alias("c"), base_cond).select(*pair_cols)
+
+
 def phash_near_dup_candidates(
     hashes: DataFrame,
     *,
@@ -366,19 +424,16 @@ def incremental_hash_dedup(
         ).filter(F.col("phash").isNotNull())
         wb = _blocked(wave, blocks)
         cb = _blocked(corp, blocks)
-        hamming = F.bit_count(F.col("w.phash").bitwiseXOR(F.col("c.phash")))
+        # over-cap corpus buckets take the replicated×salted join (same
+        # mega-bucket guard as the intra-wave path — bucket_cap now
+        # applies to BOTH pair generators; pair set identical either way)
         wc = (
-            wb.alias("w")
-            .join(
-                cb.alias("c"),
-                (F.col("w.block") == F.col("c.block"))
-                & (F.col("w.val") == F.col("c.val")),
+            _salted_wave_corpus_pairs(wb, cb, bucket_cap)
+            .filter(
+                F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+                <= max_hamming
             )
-            .filter(hamming <= max_hamming)
-            .select(
-                F.col("w.media_id").alias("id_a"),
-                F.col("c.media_id").alias("id_b"),
-            )
+            .select("id_a", "id_b")
             .distinct()  # a pair can meet in several blocks
         )
         edges = ww.unionByName(wc)

@@ -930,6 +930,17 @@ def sample_video_frames(
                     out["frame"].append(None)
                     out["error"].append(f"decoder_unavailable: {e}")
                     continue
+                if not frames:
+                    # a structurally valid container with no sampleable
+                    # video frames (zero-frame AVI, or frames on a stream
+                    # the walker doesn't match) must NOT silently vanish:
+                    # one null-frame row keeps the per-row auditability
+                    # contract (every media row accounted for downstream)
+                    out["media_id"].append(pdf["media_id"].iat[i])
+                    out["frame_idx"].append(None)
+                    out["frame"].append(None)
+                    out["error"].append("no_frames")
+                    continue
                 for idx, frame in enumerate(frames):
                     out["media_id"].append(pdf["media_id"].iat[i])
                     out["frame_idx"].append(idx)

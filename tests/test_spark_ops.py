@@ -2150,6 +2150,36 @@ def test_audio_fingerprint_invariances():
     # sample budget: over-budget audio is an error row, never a task OOM
     with pytest.raises(ValueError, match="over budget"):
         audio_fingerprint(_tone_wav([440]), max_samples=10_000)
+    # absurd sample rate: nyquist*0.99 <= the 300 Hz band floor would
+    # make geomspace emit a DESCENDING ladder and a silently degenerate
+    # fingerprint — must raise (→ error row) instead (ADVICE)
+    with pytest.raises(ValueError, match="sample rate"):
+        audio_fingerprint(_tone_wav([100], n=6000, sr=500))
+    # just above the floor still fingerprints (no over-eager guard)
+    assert isinstance(audio_fingerprint(_tone_wav([300], n=8000, sr=700)), int)
+
+
+def test_video_zero_frames_error_row(spark):
+    """A structurally valid AVI with no sampleable video frames must
+    yield ONE null-frame 'no_frames' row, not silently vanish (the
+    auditability contract: every media row accounted for downstream)."""
+    from readability_php_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        sample_video_frames,
+    )
+
+    empty_avi = encode_avi_mjpeg(4, 4, [])
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(empty_avi)), (2, "video", bytearray(b""))],
+        "media_id long, kind string, payload binary",
+    )
+    got = {r.media_id: r for r in
+           sample_video_frames(media, every_n=2, fake=False).collect()}
+    assert got[1].error == "no_frames" and got[1].frame is None
+    # fake path: empty payload → zero pseudo-frames → same contract
+    fake = {r.media_id: r for r in
+            sample_video_frames(media, every_n=2, fake=True).collect()}
+    assert fake[2].error == "no_frames" and fake[2].frame_idx is None
 
 
 def test_media_prep_pipeline(spark):
@@ -3407,6 +3437,50 @@ def test_incremental_hash_dedup(spark):
     }
     assert v0[100].is_keeper and v0[101].keeper == 100
     assert v0[102].is_keeper and v0[103].keeper == 102 and v0[104].is_keeper
+
+
+def test_incremental_hash_dedup_overcap_salted_cross_join(spark):
+    """A degenerate hash bucket present in BOTH the corpus table and the
+    wave (the ADVICE mega-bucket case: flat images / steady audio) must
+    take the replicated×salted wave↔corpus join — and the verdicts must
+    be IDENTICAL to the unsalted join (bucket_cap=None), because the
+    salting only re-keys the shuffle, never the pair set."""
+    from readability_php_spark.operators.image_dedup import (
+        incremental_hash_dedup,
+    )
+
+    # all corpus rows share block0's 16-bit value 0xAAAA → one corpus
+    # bucket of 8 rows; pairwise Hamming across rows is large except the
+    # crafted dups below
+    corpus = spark.createDataFrame(
+        [(i, (i << 16) | 0xAAAA) for i in range(1, 9)],
+        "media_id long, phash long",
+    )
+    wave = spark.createDataFrame(
+        [
+            (100, (3 << 16) | 0xAAAA),        # exact dup of corpus 3
+            (101, ((3 << 16) | 0xAAAA) ^ 1),  # near-dup → corpus via 100
+            (102, (7 << 16) | 0xAAAA ^ 0xFF00),  # hot-blocks hit, verify fail
+            (103, 0x5A5A_5A5A_5A5A_0000 | 0xAAAA),  # bucket hit, verify fail
+        ],
+        "media_id long, phash long",
+    )
+    runs = {}
+    for cap in (None, 2):  # cap=2 < 8 corpus rows in the hot bucket → s=4
+        verdicts, append = incremental_hash_dedup(
+            wave, corpus, max_hamming=3, bucket_cap=cap
+        )
+        runs[cap] = (
+            sorted(map(tuple, verdicts.collect())),
+            sorted(map(tuple, append.collect())),
+        )
+    assert runs[None] == runs[2]
+    v = {t[0]: t for t in runs[2][0]}
+    # corpus rows differ only in block1 (popcount(i^j) ≤ 3 links them
+    # all), so the corpus-side cluster is one component with min id 1 —
+    # the corpus-wins keeper for both crafted wave dups
+    assert v[100][2] == 1 and v[101][2] == 1
+    assert v[103][3] is True  # bucket collision without verify survives
 
 
 def test_incremental_fuzzy_dedup_differential(spark):
